@@ -1,0 +1,7 @@
+from fosvos_tpu.models.arch import (BlockWidths, ResNetArch, VGGArch,
+                                    resnet_arch)
+from fosvos_tpu.models.resnet import OSVOSResNet, make_resnet
+from fosvos_tpu.models.vgg import OSVOSVGG
+
+__all__ = ['BlockWidths', 'ResNetArch', 'VGGArch', 'resnet_arch',
+           'OSVOSResNet', 'make_resnet', 'OSVOSVGG']
