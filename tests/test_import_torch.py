@@ -1,0 +1,180 @@
+"""Tests for torch-checkpoint import (fosvos_tpu.models.import_torch).
+
+Synthetic state_dicts with torchvision/reference naming are generated in-test;
+value placement is checked by direct indexing (layout-transpose correctness is
+already proven against torch in test_ops.py / test_model_parity.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.models import OSVOSVGG, make_resnet, resnet_arch
+from fosvos_tpu.models import import_torch as it
+
+
+def _rand(rng, *shape):
+    return rng.randn(*shape).astype(np.float32)
+
+
+def _bn_entries(rng, prefix, c):
+    return {
+        f'{prefix}.weight': _rand(rng, c),
+        f'{prefix}.bias': _rand(rng, c),
+        f'{prefix}.running_mean': _rand(rng, c),
+        f'{prefix}.running_var': np.abs(_rand(rng, c)) + 0.5,
+    }
+
+
+def _tv_resnet18_sd(rng):
+    sd = {'conv1.weight': _rand(rng, 64, 3, 7, 7)}
+    sd.update(_bn_entries(rng, 'bn1', 64))
+    in_ch = 64
+    for i, planes in enumerate([64, 128, 256, 512]):
+        for j in range(2):
+            p = f'layer{i + 1}.{j}'
+            sd[f'{p}.conv1.weight'] = _rand(rng, planes, in_ch, 3, 3)
+            sd.update(_bn_entries(rng, f'{p}.bn1', planes))
+            sd[f'{p}.conv2.weight'] = _rand(rng, planes, planes, 3, 3)
+            sd.update(_bn_entries(rng, f'{p}.bn2', planes))
+            if j == 0 and (i > 0):
+                sd[f'{p}.downsample.0.weight'] = _rand(rng, planes, in_ch, 1, 1)
+                sd.update(_bn_entries(rng, f'{p}.downsample.1', planes))
+            in_ch = planes
+    return sd
+
+
+def test_resnet18_trunk_import():
+    rng = np.random.RandomState(0)
+    sd = _tv_resnet18_sd(rng)
+
+    model = make_resnet(18)
+    x = jnp.zeros((1, 33, 49, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    params, stats = it.resnet_trunk_from_torchvision(
+        sd, model.arch, variables['params'], variables['batch_stats'])
+
+    # placement: kernel[h,w,i,o] == sd[o,i,h,w]
+    assert params['base_conv']['kernel'].shape == (7, 7, 3, 64)
+    assert params['base_conv']['kernel'][1, 2, 0, 5] == sd['conv1.weight'][5, 0, 1, 2]
+    assert params['stage1_block0']['downsample_conv']['kernel'][0, 0, 3, 7] == \
+        sd['layer2.0.downsample.0.weight'][7, 3, 0, 0]
+    np.testing.assert_array_equal(stats['base_bn']['var'],
+                                  sd['bn1.running_var'])
+    # heads untouched by trunk import
+    np.testing.assert_array_equal(
+        params['head0']['side_prep']['kernel'],
+        variables['params']['head0']['side_prep']['kernel'])
+
+    # imported variables must run
+    outs = model.apply({'params': params, 'batch_stats': stats}, x, train=False)
+    assert len(outs) == 5
+
+
+def test_vgg16_trunk_import():
+    rng = np.random.RandomState(1)
+    # torchvision vgg16 conv layout in 'features'
+    cfgs = [(0, 64, 3), (2, 64, 64), (5, 128, 64), (7, 128, 128),
+            (10, 256, 128), (12, 256, 256), (14, 256, 256),
+            (17, 512, 256), (19, 512, 512), (21, 512, 512),
+            (24, 512, 512), (26, 512, 512), (28, 512, 512)]
+    sd = {}
+    for idx, out, cin in cfgs:
+        sd[f'features.{idx}.weight'] = _rand(rng, out, cin, 3, 3)
+        sd[f'features.{idx}.bias'] = _rand(rng, out)
+    # classifier entries must be ignored
+    sd['classifier.0.weight'] = _rand(rng, 4096, 25088)
+
+    model = OSVOSVGG()
+    x = jnp.zeros((1, 33, 49, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = it.vgg16_trunk_from_torchvision(sd, variables['params'])
+
+    assert params['stage0_conv0']['kernel'][0, 1, 2, 3] == \
+        sd['features.0.weight'][3, 2, 0, 1]
+    assert params['stage4_conv2']['kernel'][2, 2, 10, 20] == \
+        sd['features.28.weight'][20, 10, 2, 2]
+    outs = model.apply({'params': params}, x)
+    assert len(outs) == 5
+
+
+def _reference_osvos_resnet18_sd(rng):
+    sd = {'layer_base.0.weight': _rand(rng, 64, 3, 7, 7)}
+    sd.update(_bn_entries(rng, 'layer_base.1', 64))
+    in_ch = 64
+    for i, planes in enumerate([64, 128, 256, 512]):
+        for j in range(2):
+            p = f'layer_stages.{i}.{j}'
+            sd[f'{p}.conv1.weight'] = _rand(rng, planes, in_ch, 3, 3)
+            sd.update(_bn_entries(rng, f'{p}.bn1', planes))
+            sd[f'{p}.conv2.weight'] = _rand(rng, planes, planes, 3, 3)
+            sd.update(_bn_entries(rng, f'{p}.bn2', planes))
+            if j == 0 and i > 0:
+                sd[f'{p}.downsample.0.weight'] = _rand(rng, planes, in_ch, 1, 1)
+                sd.update(_bn_entries(rng, f'{p}.downsample.1', planes))
+            in_ch = planes
+    for i, planes in enumerate([64, 128, 256, 512]):
+        k = 2 ** (3 + i)
+        sd[f'side_prep.{i}.weight'] = _rand(rng, 16, planes, 3, 3)
+        sd[f'side_prep.{i}.bias'] = _rand(rng, 16)
+        sd[f'upscale_side_prep.{i}.weight'] = _rand(rng, 16, 16, k, k)
+        sd[f'score_dsn.{i}.weight'] = _rand(rng, 1, 16, 1, 1)
+        sd[f'score_dsn.{i}.bias'] = _rand(rng, 1)
+        sd[f'upscale_score_dsn.{i}.weight'] = _rand(rng, 1, 1, k, k)
+    sd['layer_fuse.weight'] = _rand(rng, 1, 64, 1, 1)
+    sd['layer_fuse.bias'] = _rand(rng, 1)
+    return sd
+
+
+def test_reference_osvos_resnet_checkpoint_conversion():
+    rng = np.random.RandomState(2)
+    sd = _reference_osvos_resnet18_sd(rng)
+    variables = it.osvos_resnet_checkpoint_to_variables(sd, resnet_arch(18))
+
+    # deconv: ours (k,k,out,in) == torch (in,out,k,k) transposed
+    assert variables['params']['head2']['upscale_side_prep']['kernel'][3, 4, 5, 6] == \
+        sd['upscale_side_prep.2.weight'][6, 5, 3, 4]
+
+    model = make_resnet(18)
+    x = jnp.zeros((1, 33, 49, 3), jnp.float32)
+    outs = model.apply(
+        {'params': variables['params'], 'batch_stats': variables['batch_stats']},
+        x, train=False)
+    assert len(outs) == 5
+
+
+def test_reference_osvos_vgg_checkpoint_conversion():
+    rng = np.random.RandomState(3)
+    cfg = [(64, 64), (128, 128), (256, 256, 256), (512, 512, 512),
+           (512, 512, 512)]
+    in_ch = 3
+    sd = {}
+    for i, widths in enumerate(cfg):
+        # Sequential indices: convs at 0,2.. (stage 0) or after leading pool
+        idx = 0 if i == 0 else 1
+        for w in widths:
+            sd[f'stages.{i}.{idx}.weight'] = _rand(rng, w, in_ch, 3, 3)
+            sd[f'stages.{i}.{idx}.bias'] = _rand(rng, w)
+            in_ch = w
+            idx += 2
+    for i in range(4):
+        k = 2 ** (2 + i)
+        sd[f'side_prep.{i}.weight'] = _rand(rng, 16, cfg[i + 1][-1], 3, 3)
+        sd[f'side_prep.{i}.bias'] = _rand(rng, 16)
+        sd[f'upscale.{i}.weight'] = _rand(rng, 16, 16, k, k)
+        sd[f'score_dsn.{i}.weight'] = _rand(rng, 1, 16, 1, 1)
+        sd[f'score_dsn.{i}.bias'] = _rand(rng, 1)
+        sd[f'upscale_.{i}.weight'] = _rand(rng, 1, 1, k, k)
+    sd['fuse.weight'] = _rand(rng, 1, 64, 1, 1)
+    sd['fuse.bias'] = _rand(rng, 1)
+
+    params = it.osvos_vgg_checkpoint_to_params(sd)
+    assert params['stage1_conv0']['kernel'][1, 1, 10, 20] == \
+        sd['stages.1.1.weight'][20, 10, 1, 1]
+
+    model = OSVOSVGG()
+    outs = model.apply({'params': params},
+                       jnp.zeros((1, 33, 49, 3), jnp.float32))
+    assert len(outs) == 5
