@@ -1,0 +1,159 @@
+"""Offline (parent) training on the DAVIS-2016 train split.
+
+Reference: ``train_offline.py:58-138`` — 240 epochs over ~2079 frames,
+batch 1, deep supervision with annealed side losses, optimizer step every 10
+(grad accumulation), snapshot every 40 epochs.
+
+TPU-native shape handling: the multi-scale augmentation {0.5, 0.8, 1} yields
+three static shapes; the jitted train step is compiled once per shape and
+reused (XLA jit cache). Batches larger than 1 are supported by sampling one
+scale per batch (at the reference's batch_size=1 this is identical to
+per-sample scales).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fosvos_tpu.data import transforms
+from fosvos_tpu.data.davis import DAVIS2016
+from fosvos_tpu.train import optimizers
+from fosvos_tpu.train.losses import deep_supervision_loss
+from fosvos_tpu.train.state import TrainState, create_state
+
+
+class OfflineTrainer:
+    """Compiled offline train/eval steps for a model + optimizer preset."""
+
+    def __init__(self, model, preset: Optional[optimizers.Preset] = None,
+                 avg_grad_every_n: int = 10):
+        self.model = model
+        self.preset = preset or optimizers.Preset()
+        self.avg_grad_every_n = avg_grad_every_n
+        self._optimizer = None
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, variables) -> TrainState:
+        if self._optimizer is None:
+            self._build(variables['params'])
+        return create_state(variables, self._optimizer)
+
+    def _build(self, params):
+        base_opt = optimizers.make_optimizer(self.preset, params)
+        optimizer = optax.MultiSteps(base_opt,
+                                     every_k_schedule=self.avg_grad_every_n)
+        model = self.model
+
+        @jax.jit
+        def train_step(state: TrainState, images, gts, epoch_frac):
+            def loss_fn(p):
+                outs, mut = model.apply(
+                    {'params': p, 'batch_stats': state.batch_stats}, images,
+                    train=True, mutable=['batch_stats'])
+                total, losses = deep_supervision_loss(outs, gts, epoch_frac)
+                return total, (mut['batch_stats'], losses)
+
+            (_, (new_stats, losses)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=params, batch_stats=new_stats,
+                                   opt_state=opt_state, step=state.step + 1)
+            return new_state, jnp.stack(losses)
+
+        @jax.jit
+        def eval_step(params, batch_stats, images, gts):
+            outs = model.apply({'params': params, 'batch_stats': batch_stats},
+                               images, train=False)
+            _, losses = deep_supervision_loss(outs, gts, jnp.asarray(0.0))
+            return jnp.stack(losses)
+
+        self._optimizer = optimizer
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def train_step(self, state, images, gts, epoch_frac):
+        return self._train_step(state, jnp.asarray(images), jnp.asarray(gts),
+                                jnp.asarray(epoch_frac, jnp.float32))
+
+    def eval_step(self, state, images, gts):
+        return self._eval_step(state.params, state.batch_stats,
+                               jnp.asarray(images), jnp.asarray(gts))
+
+
+def iterate_batches(dataset: DAVIS2016, batch_size: int,
+                    rng: np.random.RandomState, augment: bool = True,
+                    scales: Sequence[float] = transforms.TRAIN_SCALES
+                    ) -> Iterator[Dict[str, np.ndarray]]:
+    """Shuffled, augmented batches with one scale per batch.
+
+    Matches the reference pipeline (shuffle=True, Compose[Flip, Resize],
+    ``io_helper.py:62-70``) at batch 1; scale is drawn per batch so shapes
+    stay static within a batch.
+    """
+    order = rng.permutation(len(dataset))
+    for start in range(0, len(order) - batch_size + 1, batch_size):
+        idxs = order[start:start + batch_size]
+        scale = scales[rng.randint(len(scales))] if augment else 1.0
+        imgs, gts = [], []
+        for i in idxs:
+            img, gt = dataset.make_img_gt_pair(int(i))
+            s = {'image': img, 'gt': gt}
+            if augment:
+                s = transforms.random_horizontal_flip(s, rng)
+                s = transforms.resize(s, scale)
+            imgs.append(s['image'])
+            gts.append(s['gt'][..., None])
+        yield {'image': np.stack(imgs), 'gt': np.stack(gts)}
+
+
+@dataclasses.dataclass
+class EpochStats:
+    epoch: int
+    mean_losses: np.ndarray     # (5,) per-output mean CB-BCE over the epoch
+    wall_time_s: float
+
+
+def train_offline(model, variables, dataset: DAVIS2016,
+                  preset: Optional[optimizers.Preset] = None,
+                  n_epochs: int = 240, start_epoch: int = 0,
+                  batch_size: int = 1, avg_grad_every_n: int = 10,
+                  augment: bool = True, seed: int = 0,
+                  snapshot_every_n: int = 40,
+                  snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
+                  log_fn: Optional[Callable[[EpochStats], None]] = None
+                  ) -> TrainState:
+    """Full offline training loop (reference defaults: 240 epochs, batch 1,
+    step every 10, snapshot every 40 — ``train_offline.py:153-157``)."""
+    trainer = OfflineTrainer(model, preset, avg_grad_every_n)
+    state = trainer.init_state(variables)
+    rng = np.random.RandomState(seed)
+
+    for epoch in range(start_epoch, n_epochs):
+        t0 = time.perf_counter()
+        sums = np.zeros(5)
+        n = 0
+        for batch in iterate_batches(dataset, batch_size, rng, augment):
+            state, losses = trainer.train_step(
+                state, batch['image'], batch['gt'], epoch / n_epochs)
+            sums += np.asarray(losses)
+            n += 1
+        stats = EpochStats(epoch=epoch, mean_losses=sums / max(n, 1),
+                           wall_time_s=time.perf_counter() - t0)
+        if log_fn is not None:
+            log_fn(stats)
+        # reference cadence: (epoch % n) == n-1 and epoch != 0
+        if snapshot_fn is not None and epoch % snapshot_every_n == \
+                snapshot_every_n - 1 and epoch != 0:
+            snapshot_fn(epoch, state)
+
+    return state

@@ -1,0 +1,131 @@
+"""End-to-end training tests on the synthetic DAVIS fixture.
+
+Small model widths + few steps keep this CPU-fast while exercising the full
+compiled paths (online scan, offline epoch loop, grad accumulation, BN state).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.train import offline, online, optimizers
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    # sde=3 -> widths [8,16,32,64]: fast on CPU but the real topology
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=3))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def _iou(pred_logits, gt):
+    pred = np.asarray(pred_logits)[..., 0] > 0.0  # sigmoid(x) > .5 <=> x > 0
+    gt = np.asarray(gt) >= 0.5
+    inter = np.logical_and(pred, gt).sum()
+    union = np.logical_or(pred, gt).sum()
+    return inter / max(union, 1)
+
+
+def test_online_finetune_learns_the_frame(db, tiny_model):
+    """From random init, the compiled scan must overfit the single frame
+    (IoU -> 1 on the training frame, like the reference's 10k-epoch loop)."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+
+    tuner = online.OnlineFinetuner(
+        model, optimizers.online_variant(10), avg_grad_every_n=5)
+    res = tuner.finetune(variables, img, gt, n_epochs=300, seed=0,
+                         augment=False)
+
+    assert res.losses.shape == (300,)
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < res.losses[0] * 0.01
+
+    outs = model.apply(
+        {'params': res.state.params, 'batch_stats': res.state.batch_stats},
+        jnp.asarray(img[None]), train=False)
+    assert _iou(outs[-1][0], gt) > 0.9
+
+
+def test_online_finetuner_augmented_reuse_across_sequences(db, tiny_model):
+    """Multi-scale + flip buckets, reused finetuner (no donation bugs);
+    within each scale bucket the loss is finite and grouped per window."""
+    model, variables = tiny_model
+    tuner = online.OnlineFinetuner(model, optimizers.online_variant(11))
+    for seq in ['synth-swan', 'synth-goat']:
+        ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name=seq)
+        img, gt = ds.make_img_gt_pair(0)
+        res = tuner.finetune(variables, img, gt, n_epochs=24, seed=1)
+        assert res.losses.shape == (24,)
+        assert np.isfinite(res.losses).all()
+
+
+def test_offline_training_decreases_loss(db, tiny_model):
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+
+    stats_log = []
+    snaps = []
+    state = offline.train_offline(
+        model, variables, ds,
+        preset=optimizers.offline_variant(11),
+        n_epochs=6, batch_size=2, avg_grad_every_n=2,
+        augment=False, seed=0,
+        snapshot_every_n=5,
+        snapshot_fn=lambda e, s: snaps.append(e),
+        log_fn=stats_log.append)
+
+    assert len(stats_log) == 6
+    first, last = stats_log[0].mean_losses[-1], stats_log[-1].mean_losses[-1]
+    assert np.isfinite(last)
+    assert last < first  # fuse loss decreased
+    assert snaps == [4]  # epoch % 5 == 4
+
+
+def test_offline_augmented_shapes_compile(db, tiny_model):
+    """Multi-scale augmentation produces 3 shapes; step must handle all."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    trainer = offline.OfflineTrainer(model, optimizers.offline_variant(11),
+                                     avg_grad_every_n=2)
+    state = trainer.init_state(variables)
+    rng = np.random.RandomState(0)
+    shapes = set()
+    for batch in offline.iterate_batches(ds, 1, rng, augment=True):
+        shapes.add(batch['image'].shape[1:3])
+        state, losses = trainer.train_step(state, batch['image'], batch['gt'],
+                                           0.0)
+    assert len(shapes) >= 2  # at least two scales drawn
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_gradient_accumulation_steps_only_every_n(tiny_model):
+    """Params must change only at accumulation boundaries (MultiSteps)."""
+    model, variables = tiny_model
+    trainer = offline.OfflineTrainer(model, optimizers.offline_variant(11),
+                                     avg_grad_every_n=3)
+    state = trainer.init_state(variables)
+    img = np.random.RandomState(0).randn(1, 64, 96, 3).astype(np.float32)
+    gt = (np.random.RandomState(1).rand(1, 64, 96, 1) > 0.5).astype(np.float32)
+
+    p0 = state.params['layer_fuse']['kernel']
+    state, _ = trainer.train_step(state, img, gt, 0.0)
+    np.testing.assert_array_equal(np.asarray(state.params['layer_fuse']['kernel']),
+                                  np.asarray(p0))
+    state, _ = trainer.train_step(state, img, gt, 0.0)
+    np.testing.assert_array_equal(np.asarray(state.params['layer_fuse']['kernel']),
+                                  np.asarray(p0))
+    state, _ = trainer.train_step(state, img, gt, 0.0)
+    assert not np.array_equal(np.asarray(state.params['layer_fuse']['kernel']),
+                              np.asarray(p0))
