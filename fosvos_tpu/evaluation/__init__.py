@@ -1,0 +1,3 @@
+from fosvos_tpu.evaluation import experiment, metrics
+
+__all__ = ['experiment', 'metrics']

@@ -1,0 +1,132 @@
+"""Inference/eval driver: the reference's ``experiment_helper.test`` rebuilt.
+
+Reference behavior (``experiment_helper.py:20-80``): per-frame forward,
+numpy sigmoid, save probability masks to ``results/<model>/<seq>/<fname>.png``;
+speed mode = 10 runs with synchronize-bracketed timing, first frame skipped.
+
+TPU-native deltas:
+
+* frames of a sequence are processed as **batches** from a dense (T,H,W,C)
+  array — one device_put per sequence, one compiled forward per batch shape,
+  sigmoid+quantization fused on device, single D2H of uint8 masks;
+* the speed harness uses ``jax.block_until_ready`` with the same
+  10-runs/skip-first methodology (``experiment_helper.py:42-53``), so numbers
+  are comparable with the reference's measurement protocol.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fosvos_tpu.data.davis import DAVIS2016
+
+
+def write_mask_png(path: str, mask_u8: np.ndarray) -> None:
+    import cv2
+    cv2.imwrite(str(path), mask_u8)
+
+
+class InferenceEngine:
+    """Compiled batched forward producing uint8 probability masks."""
+
+    def __init__(self, model, batch_size: int = 4):
+        self.model = model
+        self.batch_size = batch_size
+
+        @jax.jit
+        def forward_masks(variables, images):
+            outs = model.apply(variables, images, train=False)
+            prob = jax.nn.sigmoid(outs[-1][..., 0])
+            # reference saves the sigmoid map as PNG (experiment_helper.py:57,64)
+            return jnp.round(prob * 255.0).astype(jnp.uint8)
+
+        @jax.jit
+        def forward_logits(variables, images):
+            return model.apply(variables, images, train=False)[-1]
+
+        self._forward_masks = forward_masks
+        self._forward_logits = forward_logits
+
+    def masks_for_sequence(self, variables, images: np.ndarray) -> np.ndarray:
+        """uint8 (T,H,W) probability masks for a dense frame stack."""
+        t = images.shape[0]
+        bs = self.batch_size
+        pad = (-t) % bs
+        if pad:
+            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+        chunks = []
+        for i in range(0, images.shape[0], bs):
+            chunks.append(np.asarray(
+                self._forward_masks(variables, jnp.asarray(images[i:i + bs]))))
+        return np.concatenate(chunks)[:t]
+
+    def benchmark(self, variables, images: np.ndarray, n_runs: int = 10
+                  ) -> 'SpeedReport':
+        """Reference timing methodology (experiment_helper.py:29-53):
+        n_runs passes over the frames, per-batch sync-bracketed timing,
+        first measurement discarded."""
+        bs = self.batch_size
+        t = images.shape[0] - images.shape[0] % bs
+        images = images[:t]
+        batches = [jnp.asarray(images[i:i + bs]) for i in range(0, t, bs)]
+        times = []
+        first = True
+        for _ in range(n_runs):
+            for b in batches:
+                t0 = time.perf_counter()
+                jax.block_until_ready(self._forward_masks(variables, b))
+                dt = time.perf_counter() - t0
+                if first:
+                    first = False  # first call includes compilation/alloc
+                else:
+                    times.append(dt / bs)
+        return SpeedReport(
+            n_frames=len(times) * 1, batch_size=bs,
+            mean_s_per_frame=float(np.mean(times)),
+            fps=float(1.0 / np.mean(times)))
+
+
+@dataclasses.dataclass
+class SpeedReport:
+    n_frames: int
+    batch_size: int
+    mean_s_per_frame: float
+    fps: float
+
+
+def test(model, variables, dataset: DAVIS2016, save_dir: str,
+         seq_name: Optional[str] = None, eval_speeds: bool = False,
+         batch_size: int = 4, engine: Optional[InferenceEngine] = None
+         ) -> Dict[str, object]:
+    """Run inference over sequences and write masks (reference ``test()``).
+
+    Output layout identical to the reference: ``<save_dir>/<seq>/<fname>.png``
+    (experiment_helper.py:60-64).
+    """
+    engine = engine or InferenceEngine(model, batch_size)
+    results: Dict[str, object] = {}
+    seqs = [seq_name] if seq_name else dataset.sequence_names
+    t_all = time.perf_counter()
+    n_images = 0
+    for seq in seqs:
+        images, _, names = dataset.load_sequence(seq)
+        n_images += len(names)
+        if eval_speeds:
+            results[seq] = engine.benchmark(variables, images)
+        else:
+            masks = engine.masks_for_sequence(variables, images)
+            out_dir = Path(save_dir) / seq
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for name, m in zip(names, masks):
+                write_mask_png(str(out_dir / f'{name}.png'), m)
+            results[seq] = masks
+    results['total_time_s'] = time.perf_counter() - t_all
+    results['n_images'] = n_images
+    return results

@@ -1,0 +1,103 @@
+"""Tests for the J&F evaluator and the inference/eval driver."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.evaluation import experiment, metrics
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+
+
+def test_iou_basic():
+    a = np.zeros((10, 10), bool)
+    b = np.zeros((10, 10), bool)
+    a[2:6, 2:6] = True
+    assert metrics.iou(a, a) == 1.0
+    assert metrics.iou(a, b) == 0.0
+    assert metrics.iou(b, b) == 1.0  # both-empty convention
+    b[2:6, 2:4] = True
+    assert metrics.iou(a, b) == pytest.approx(0.5)
+
+
+def test_f_boundary_perfect_and_shifted():
+    a = np.zeros((100, 100), bool)
+    a[30:70, 30:70] = True
+    assert metrics.f_boundary(a, a) == 1.0
+    # 1px shift stays within the tolerance radius at this resolution
+    b = np.roll(a, 1, axis=0)
+    assert metrics.f_boundary(a, b) == 1.0
+    # large shift -> poor F
+    c = np.roll(a, 25, axis=0)
+    assert metrics.f_boundary(a, c) < 0.5
+    # empty prediction vs non-empty gt
+    assert metrics.f_boundary(a, np.zeros_like(a)) == 0.0
+
+
+def test_db_statistics_decay():
+    v = np.linspace(1.0, 0.0, 20)  # degrading quality
+    st = metrics.db_statistics(v)
+    assert st.mean == pytest.approx(0.5)
+    assert st.decay > 0.5
+    st2 = metrics.db_statistics(np.ones(20))
+    assert st2.decay == pytest.approx(0.0)
+    assert st2.recall == 1.0
+
+
+def test_evaluate_sequence_and_dataset():
+    ann = [np.zeros((20, 20), bool) for _ in range(5)]
+    seg = [np.zeros((20, 20), bool) for _ in range(5)]
+    for i in range(5):
+        ann[i][5:15, 5:15] = True
+        seg[i][5:15, 5:15] = True
+    ev = metrics.evaluate_sequence(ann, seg)
+    assert ev.j.mean == 1.0 and ev.f.mean == 1.0
+    ds = metrics.DatasetEval(per_sequence={'a': ev, 'b': ev})
+    s = ds.summary()
+    assert s['J_mean'] == 1.0 and s['F_recall'] == 1.0
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+
+
+def test_experiment_test_writes_masks(db, tmp_path):
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    out = experiment.test(model, variables, ds, str(tmp_path / 'results'),
+                          seq_name='synth-swan', batch_size=2)
+    masks = out['synth-swan']
+    assert masks.shape == (4, 64, 96) and masks.dtype == np.uint8
+    import cv2
+    png = cv2.imread(str(tmp_path / 'results' / 'synth-swan' / '00002.png'), 0)
+    assert png is not None and png.shape == (64, 96)
+    np.testing.assert_array_equal(png, masks[2])
+
+
+def test_experiment_benchmark(db):
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    out = experiment.test(model, variables, ds, '/tmp/unused',
+                          seq_name='synth-swan', eval_speeds=True,
+                          batch_size=2)
+    rep = out['synth-swan']
+    assert rep.fps > 0 and rep.mean_s_per_frame > 0
+
+
+def test_masks_batch_padding(db):
+    """T not divisible by batch size must still emit exactly T masks."""
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    engine = experiment.InferenceEngine(model, batch_size=3)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-goat')
+    images, _, _ = ds.load_sequence()
+    masks = engine.masks_for_sequence(variables, images)
+    assert masks.shape[0] == 4
