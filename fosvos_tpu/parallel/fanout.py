@@ -1,0 +1,174 @@
+"""Per-sequence online fine-tune fan-out over the mesh.
+
+The reference scales one-shot adaptation by launching N independent processes
+over disjoint sequence shards (``--sequence-group/-size``,
+``train_online.py:183-186``). Each fine-tune is embarrassingly parallel, which
+on TPU maps perfectly onto a ``seq`` mesh axis: the per-sequence train step is
+``vmap``-ed over a leading sequence axis, that axis is sharded across chips,
+and the whole multi-sequence adaptation runs as compiled scans with **zero
+cross-chip communication** in steady state (ICI is only touched by the initial
+broadcast and final gather).
+
+vmapping over *parameters* (every sequence owns its own adapted copy of the
+model) is the idiomatic JAX inversion of the reference's process-per-sequence
+design.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fosvos_tpu.data import transforms
+from fosvos_tpu.train import optimizers
+from fosvos_tpu.train.losses import online_loss
+from fosvos_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class FanoutResult:
+    params: Any          # stacked over the sequence axis
+    batch_stats: Any
+    losses: np.ndarray   # (n_steps, S)
+    wall_time_s: float
+
+
+class SequenceFanout:
+    def __init__(self, model, mesh: Mesh,
+                 preset: Optional[optimizers.Preset] = None,
+                 avg_grad_every_n: int = 5):
+        if 'seq' not in mesh.axis_names:
+            raise ValueError("fanout mesh needs a 'seq' axis")
+        self.model = model
+        self.mesh = mesh
+        self.preset = preset or optimizers.online_variant(11)
+        self.avg_grad_every_n = avg_grad_every_n
+        self._optimizer = None
+        self._run_bucket = None
+
+    @property
+    def seq_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P('seq'))
+
+    def _build(self, params):
+        base_opt = optimizers.make_optimizer(self.preset, params)
+        optimizer = optax.MultiSteps(base_opt,
+                                     every_k_schedule=self.avg_grad_every_n)
+        model = self.model
+
+        def one_seq_step(carry, flip, image, gt):
+            p, batch_stats, opt_state = carry
+            imgs, g = transforms.device_flip(image[None], gt[None, ..., None],
+                                             flip)
+
+            def loss_fn(pp):
+                outs, mut = model.apply(
+                    {'params': pp, 'batch_stats': batch_stats}, imgs,
+                    train=True, mutable=['batch_stats'])
+                return online_loss(outs, g), mut['batch_stats']
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            updates, opt_state = optimizer.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, new_stats, opt_state), loss
+
+        # One sequence's full bucket: scan over its steps.
+        def per_seq(carry1, flips1, image, gt):
+            return jax.lax.scan(
+                lambda c, f: one_seq_step(c, f, image, gt), carry1, flips1)
+
+        # shard_map over the 'seq' mesh axis; inside each shard, lax.map
+        # walks the local sequences sequentially (with one sequence per chip
+        # this is a single iteration). No collectives in the hot loop —
+        # the fan-out is communication-free by construction.
+        def run_local(carry, flips, images, gts):
+            # all leading axes are the *local* sequence count
+            return jax.lax.map(
+                lambda args: per_seq(*args), (carry, flips, images, gts))
+
+        seq_spec = P('seq')
+        sharded = jax.shard_map(
+            run_local,
+            mesh=self.mesh,
+            in_specs=(seq_spec, seq_spec, seq_spec, seq_spec),
+            out_specs=(seq_spec, seq_spec),
+        )
+
+        self._optimizer = optimizer
+        self._run_bucket = jax.jit(sharded, donate_argnums=(0,))
+
+    def finetune_all(self, variables, images: np.ndarray, gts: np.ndarray,
+                     n_epochs: int = 10000,
+                     scales: Sequence[float] = transforms.TRAIN_SCALES,
+                     augment: bool = True, seed: int = 0) -> FanoutResult:
+        """Adapt one model copy per sequence, all at once.
+
+        Args:
+          variables: single (unstacked) model variables — broadcast to S copies.
+          images: (S, H, W, 3) first annotated frames, mean-subtracted.
+          gts: (S, H, W) masks in [0, 1].
+        """
+        if self._run_bucket is None:
+            self._build(variables['params'])
+
+        S = images.shape[0]
+        n_seq = self.mesh.shape['seq']
+        pad = (-S) % n_seq
+        if pad:
+            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+            gts = np.concatenate([gts, gts[-1:].repeat(pad, 0)])
+        S_pad = images.shape[0]
+
+        rng = np.random.RandomState(seed)
+        if augment:
+            buckets = transforms.scale_buckets(n_epochs, rng, scales)
+        else:
+            buckets = [(1.0, np.zeros(n_epochs, np.int32))]
+
+        # host-resize each sequence's frame per scale
+        scale_pairs: Dict[float, Tuple[jax.Array, jax.Array]] = {}
+        for s in sorted({sc for sc, _ in buckets}):
+            ims, gs = [], []
+            for k in range(S_pad):
+                samp = transforms.resize(
+                    {'image': images[k], 'gt': gts[k]}, s)
+                ims.append(samp['image'])
+                gs.append(samp['gt'])
+            scale_pairs[s] = (
+                jax.device_put(jnp.asarray(np.stack(ims)), self.seq_sharding),
+                jax.device_put(jnp.asarray(np.stack(gs)), self.seq_sharding))
+
+        stacked = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (S_pad,) + a.shape).copy(),
+            {'params': variables['params'],
+             'batch_stats': variables.get('batch_stats', {})})
+        params_s = jax.device_put(stacked['params'], self.seq_sharding)
+        stats_s = jax.device_put(stacked['batch_stats'], self.seq_sharding)
+        opt_state = jax.device_put(
+            jax.vmap(self._optimizer.init)(params_s), self.seq_sharding)
+        carry = (params_s, stats_s, opt_state)
+
+        t0 = time.perf_counter()
+        all_losses: List[np.ndarray] = []
+        for scale, flips in buckets:
+            # independent flip draws per sequence, (S, n_steps) seq-leading
+            f = (rng.rand(S_pad, len(flips)) < 0.5).astype(np.int32)
+            ims, gs = scale_pairs[scale]
+            carry, losses = self._run_bucket(carry, jnp.asarray(f), ims, gs)
+            all_losses.append(np.asarray(losses).T)   # -> (n_steps, S)
+        jax.block_until_ready(carry)
+        wall = time.perf_counter() - t0
+
+        params_s, stats_s, _ = carry
+        unpad = lambda t: jax.tree.map(lambda a: a[:S], t)
+        return FanoutResult(params=unpad(params_s),
+                            batch_stats=unpad(stats_s),
+                            losses=np.concatenate(all_losses)[:, :S],
+                            wall_time_s=wall)

@@ -1,0 +1,61 @@
+"""Device mesh utilities — the framework's replacement for the reference's
+``gpu_handler`` (``src/util/gpu_handler.py``: pick one CUDA device by id or
+hostname). On TPU the unit of scale is a **mesh** of chips connected by ICI;
+workloads declare shardings over named axes and XLA inserts the collectives.
+
+Axes used by this framework:
+
+* ``data``    — batch data parallelism (offline parent training)
+* ``spatial`` — H-dimension spatial partitioning of 480p feature maps
+                (the analogous axis to sequence parallelism for conv nets,
+                SURVEY.md §5)
+* ``seq``     — embarrassingly-parallel per-video fan-out (online fine-tune,
+                prune/mimic sweeps), replacing the reference's manual
+                ``--sequence-group`` process sharding (args_helper.py:30-31)
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_names: Sequence[str] = ('data',),
+              shape: Optional[Sequence[int]] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a mesh over the available devices.
+
+    With no ``shape``, all devices go to the first axis. ``shape`` entries of
+    -1 are inferred (like reshape).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = [n] + [1] * (len(axis_names) - 1)
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = n // known
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def batch_spatial_sharded(mesh: Mesh, data_axis: str = 'data',
+                          spatial_axis: str = 'spatial') -> NamedSharding:
+    """NHWC images sharded over batch and H (spatial conv partitioning;
+    GSPMD inserts the halo exchanges)."""
+    return NamedSharding(mesh, P(data_axis, spatial_axis))
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()

@@ -1,0 +1,130 @@
+"""Multi-device tests on the virtual 8-CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.parallel import data_parallel, fanout, make_mesh
+from fosvos_tpu.train import offline, optimizers
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+
+
+@pytest.fixture(scope='module')
+def tiny():
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def test_mesh_construction():
+    m = make_mesh(('data',))
+    assert m.shape['data'] == 8
+    m2 = make_mesh(('data', 'spatial'), shape=(4, 2))
+    assert m2.shape == {'data': 4, 'spatial': 2}
+    m3 = make_mesh(('seq',), shape=(-1,))
+    assert m3.shape['seq'] == 8
+
+
+def test_dp_train_step_matches_single_device(db, tiny):
+    """Sharded-batch gradients must equal single-device gradients."""
+    model, variables = tiny
+    imgs = np.random.RandomState(0).randn(8, 64, 96, 3).astype(np.float32)
+    gts = (np.random.RandomState(1).rand(8, 64, 96, 1) > 0.7).astype(np.float32)
+
+    preset = optimizers.offline_variant(11)
+
+    single = offline.OfflineTrainer(model, preset, avg_grad_every_n=1)
+    s_state = single.init_state(variables)
+    s_state, s_losses = single.train_step(s_state, imgs, gts, 0.0)
+
+    m = make_mesh(('data',))
+    dp = data_parallel.ShardedOfflineTrainer(model, m, preset,
+                                             avg_grad_every_n=1)
+    d_state = dp.init_state(variables)
+    d_state, d_losses = dp.train_step(d_state, imgs, gts, 0.0)
+
+    np.testing.assert_allclose(np.asarray(d_losses), np.asarray(s_losses),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(d_state.params['layer_fuse']['kernel']),
+        np.asarray(s_state.params['layer_fuse']['kernel']),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_dp_spatial_sharding_compiles(tiny):
+    """2D mesh: batch over 'data', H over 'spatial' (GSPMD halo exchange)."""
+    model, variables = tiny
+    m = make_mesh(('data', 'spatial'), shape=(4, 2))
+    dp = data_parallel.ShardedOfflineTrainer(model, m,
+                                             optimizers.offline_variant(11),
+                                             avg_grad_every_n=1,
+                                             shard_spatial=True)
+    state = dp.init_state(variables)
+    imgs = np.random.RandomState(0).randn(4, 64, 96, 3).astype(np.float32)
+    gts = (np.random.RandomState(1).rand(4, 64, 96, 1) > 0.7).astype(np.float32)
+    state, losses = dp.train_step(state, imgs, gts, 0.0)
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_sequence_fanout_adapts_each_sequence(db, tiny):
+    """8 sequences, one per virtual device; each adapted copy must fit its
+    own frame better than the shared init does."""
+    model, variables = tiny
+    ds_train = davis.DAVIS2016(mode='train', db_root_dir=db)
+    # synthesize 8 'sequences' from the 8 train frames
+    imgs, gts = [], []
+    for i in range(8):
+        im, g = ds_train.make_img_gt_pair(i)
+        imgs.append(im)
+        gts.append(g)
+    imgs, gts = np.stack(imgs), np.stack(gts)
+
+    m = make_mesh(('seq',))
+    fo = fanout.SequenceFanout(model, m, optimizers.online_variant(10),
+                               avg_grad_every_n=5)
+    res = fo.finetune_all(variables, imgs, gts, n_epochs=250, augment=False,
+                          seed=0)
+
+    assert res.losses.shape == (250, 8)
+    assert np.isfinite(res.losses).all()
+    # each sequence's loss decreased a lot
+    assert (res.losses[-1] < res.losses[0] * 0.15).all()
+
+    # per-sequence params actually diverged
+    k0 = np.asarray(res.params['layer_fuse']['kernel'][0])
+    k1 = np.asarray(res.params['layer_fuse']['kernel'][1])
+    assert not np.allclose(k0, k1)
+
+    # adapted model segments its own frame
+    one_vars = jax.tree.map(lambda a: a[0], {'params': res.params,
+                                             'batch_stats': res.batch_stats})
+    outs = model.apply(one_vars, jnp.asarray(imgs[:1]), train=False)
+    pred = np.asarray(outs[-1][0, ..., 0]) > 0
+    g = gts[0] >= 0.5
+    iou = np.logical_and(pred, g).sum() / max(np.logical_or(pred, g).sum(), 1)
+    assert iou > 0.7
+
+
+def test_fanout_pads_sequences_to_mesh(db, tiny):
+    model, variables = tiny
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    imgs, gts = [], []
+    for i in range(3):  # 3 sequences on an 8-way mesh -> padded to 8
+        im, g = ds.make_img_gt_pair(i)
+        imgs.append(im)
+        gts.append(g)
+    m = make_mesh(('seq',))
+    fo = fanout.SequenceFanout(model, m, optimizers.online_variant(11))
+    res = fo.finetune_all(variables, np.stack(imgs), np.stack(gts),
+                          n_epochs=10, augment=False)
+    assert res.losses.shape == (10, 3)
+    assert res.params['layer_fuse']['kernel'].shape[0] == 3
