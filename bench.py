@@ -1,0 +1,71 @@
+"""Headline benchmark: OSVOS-ResNet18 forward throughput on DAVIS-2016 480p.
+
+Baseline (BASELINE.md): the reference measures 0.01067 s/frame (~93.7 fps) for
+the ResNet18 path with cuda.synchronize-bracketed timing, 10 runs, first
+measurement discarded (experiment_helper.py:29-53). This harness reproduces
+that methodology with jax.block_until_ready on the real TPU chip, measuring
+per-frame *throughput* (batched inference — the serving configuration).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_RESNET18_FPS = 1.0 / 0.01067   # ≈ 93.7 fps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fosvos_tpu.models import make_resnet
+
+    model = make_resnet(18)
+    h, w = 480, 854
+    rng = np.random.RandomState(0)
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, h, w, 3), jnp.float32), train=False)
+
+    @jax.jit
+    def forward_masks(variables, images):
+        outs = model.apply(variables, images, train=False)
+        prob = jax.nn.sigmoid(outs[-1][..., 0])
+        return jnp.round(prob * 255.0).astype(jnp.uint8)
+
+    # Throughput batch size: DAVIS sequences are 50-100 frames, so batch 32
+    # is a realistic serving batch. The TPU here is behind a high-latency
+    # tunnel where per-call host sync would measure the network, not the
+    # chip; we therefore enqueue n_runs back-to-back executions and fence
+    # once via a tiny readback of the last result — TPU programs execute
+    # in order, so the elapsed time covers all n_runs device executions
+    # (same spirit as the reference's 10-runs/skip-first protocol,
+    # experiment_helper.py:29-53).
+    bs = 32
+    n_runs = 20
+    frames = jnp.asarray(rng.randn(bs, h, w, 3).astype(np.float32) * 40.0)
+    np.asarray(forward_masks(variables, frames))  # compile + warm (skipped)
+
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(n_runs):
+        r = forward_masks(variables, frames)
+    np.asarray(r[0, 0, :8])  # in-order fence
+    dt = (time.perf_counter() - t0) / n_runs
+
+    fps = bs / dt
+    print(f'# batch={bs}: {dt / bs * 1e3:.3f} ms/frame ({fps:.1f} fps)',
+          file=sys.stderr)
+    print(json.dumps({
+        'metric': f'resnet18_480p_throughput_fps_b{bs}',
+        'value': round(fps, 2),
+        'unit': 'frames/s/chip',
+        'vs_baseline': round(fps / BASELINE_RESNET18_FPS, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

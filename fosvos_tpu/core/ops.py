@@ -181,18 +181,60 @@ def conv_transpose(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     Args:
       x: NHWC input.
       kernel: ``(kh, kw, out_ch, in_ch)`` — i.e. the torch deconv weight
-        ``(in, out, kh, kw)`` transposed by ``(2, 3, 1, 0)``. We use
-        ``transpose_kernel=True`` so the op is the true gradient-of-conv,
-        matching torch bit-for-bit (validated in tests against torch CPU).
+        ``(in, out, kh, kw)`` transposed by ``(2, 3, 1, 0)``.
       stride: spatial stride (same in H and W).
+
+    Every OSVOS deconv satisfies ``k == 2*stride`` (VGG ``2^(1+i)/2^i``,
+    ResNet ``2^(3+i)/2^(2+i)``); for that case we use a **kernel-segregated
+    (pixel-shuffle) lowering**: output phase (ry, rx) of the transposed conv
+    touches exactly the kernel taps congruent to it mod ``stride``, so the
+    whole op is one dense 2x2 conv producing ``s^2 * out_ch`` channels
+    followed by a depth-to-space interleave. This is (a) exactly torch's
+    ``ConvTranspose2d`` (validated bit-level in tests/test_ops.py), (b) free
+    of input dilation — which both wastes (s^2-1)/s^2 of the MXU multiplies
+    on zeros and is mis-lowered by the current TPU backend for
+    stride-indivisible widths like 854 — and (c) a single MXU-shaped matmul.
+
+    A generic input-dilated path covers k != 2*stride.
     """
-    return lax.conv_transpose(
-        x, kernel,
-        strides=(stride, stride),
-        padding='VALID',
+    k = kernel.shape[0]
+    if stride > 1 and k == 2 * stride:
+        return _deconv_pixel_shuffle(x, kernel, stride)
+    # generic gradient-of-conv path:
+    # (kh,kw,out,in) -> HWIO with I=deconv-in, O=deconv-out, spatially flipped
+    rhs = jnp.flip(jnp.swapaxes(kernel, 2, 3), axis=(0, 1))
+    return lax.conv_general_dilated(
+        x, rhs,
+        window_strides=(1, 1),
+        padding=((k - 1, k - 1), (k - 1, k - 1)),
+        lhs_dilation=(stride, stride),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        transpose_kernel=True,
     )
+
+
+def _deconv_pixel_shuffle(x: jax.Array, kernel: jax.Array,
+                          s: int) -> jax.Array:
+    """Transposed conv with k == 2s as dense 2x2 conv + depth-to-space.
+
+    Derivation: ``y[q*s + r] = sum_{d in {0,1}} x[q - d] * w[d*s + r]`` per
+    spatial dim, so phase r needs taps {w[r], w[s+r]} — a 2-tap conv over x
+    (left-padded by 1). All s^2 phases stack into the output channel dim and
+    interleave back via reshape/transpose.
+    """
+    kh, kw, co, ci = kernel.shape
+    w = kernel.reshape(2, s, 2, s, co, ci)
+    # conv offset d' relates to derivation's d by d = 1 - d': flip taps
+    w = jnp.flip(w, axis=(0, 2))
+    w = w.transpose(0, 2, 5, 1, 3, 4).reshape(2, 2, ci, s * s * co)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, w, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    n, hp, wp, _ = y.shape
+    y = y.reshape(n, hp, wp, s, s, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, hp * s, wp * s, co)
 
 
 def upsample_bilinear_deconv(x: jax.Array, kernel: jax.Array,

@@ -29,7 +29,8 @@ from flax import linen as nn
 
 from fosvos_tpu.core import ops
 from fosvos_tpu.models.arch import BlockWidths, ResNetArch, resnet_arch
-from fosvos_tpu.models.common import SideHead, TorchBatchNorm, conv_init
+from fosvos_tpu.models.common import (FuseParams, SideHead, TorchBatchNorm,
+                                      conv_init)
 
 Masks = Optional[Dict[str, jax.Array]]
 
@@ -133,7 +134,9 @@ class OSVOSResNet(nn.Module):
         x = nn.relu(x)
         x = ops.max_pool_torch(x, 3, 2, 1)
 
-        side: List[jax.Array] = []
+        fuse = FuseParams(len(arch.stages) * arch.side_prep_ch, arch.n_out,
+                          name='layer_fuse')
+        contribs: List[jax.Array] = []
         side_out: List[jax.Array] = []
         for i, stage in enumerate(arch.stages):
             for j, widths in enumerate(stage):
@@ -142,18 +145,18 @@ class OSVOSResNet(nn.Module):
                               name=f'stage{i}_block{j}')(
                     x, train, channel_masks, f'stage{i}_block{j}')
 
-            s, so = SideHead(in_ch=stage[-1].out,
+            fw = fuse.kernel[0, 0,
+                             i * arch.side_prep_ch:(i + 1) * arch.side_prep_ch]
+            c, so = SideHead(in_ch=stage[-1].out,
                              prep_ch=arch.side_prep_ch,
                              n_out=arch.n_out,
                              up_kernel=2 ** (3 + i),
                              up_stride=2 ** (2 + i),
-                             name=f'head{i}')(x, out_h, out_w)
-            side.append(s)
+                             name=f'head{i}')(x, out_h, out_w, fw)
+            contribs.append(c)
             side_out.append(so)
 
-        fused = nn.Conv(arch.n_out, (1, 1), padding=0, kernel_init=conv_init,
-                        name='layer_fuse')(jnp.concatenate(side, axis=-1))
-        side_out.append(fused)
+        side_out.append(sum(contribs) + fuse.bias)
         return side_out
 
 

@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from fosvos_tpu.core import ops
 from fosvos_tpu.models.arch import VGGArch
-from fosvos_tpu.models.common import SideHead, conv_init
+from fosvos_tpu.models.common import FuseParams, SideHead, conv_init
 
 
 class OSVOSVGG(nn.Module):
@@ -39,7 +39,10 @@ class OSVOSVGG(nn.Module):
                         name=f'stage0_conv{j}')(x)
             x = nn.relu(x)
 
-        side: List[jax.Array] = []
+        prep_ch = self.arch.side_prep_ch
+        fuse = FuseParams((len(stages) - 1) * prep_ch, self.arch.n_out,
+                          name='fuse')
+        contribs: List[jax.Array] = []
         side_out: List[jax.Array] = []
         for i in range(1, len(stages)):
             x = ops.max_pool_ceil(x, 2, 2)
@@ -48,17 +51,15 @@ class OSVOSVGG(nn.Module):
                             name=f'stage{i}_conv{j}')(x)
                 x = nn.relu(x)
 
-            s, so = SideHead(in_ch=stages[i][-1],
-                             prep_ch=self.arch.side_prep_ch,
+            fw = fuse.kernel[0, 0, (i - 1) * prep_ch:i * prep_ch]
+            c, so = SideHead(in_ch=stages[i][-1],
+                             prep_ch=prep_ch,
                              n_out=self.arch.n_out,
                              up_kernel=2 ** (1 + i),
                              up_stride=2 ** i,
-                             name=f'head{i}')(x, out_h, out_w)
-            side.append(s)
+                             name=f'head{i}')(x, out_h, out_w, fw)
+            contribs.append(c)
             side_out.append(so)
 
-        fused = nn.Conv(self.arch.n_out, (1, 1), padding=0,
-                        kernel_init=conv_init,
-                        name='fuse')(jnp.concatenate(side, axis=-1))
-        side_out.append(fused)
+        side_out.append(sum(contribs) + fuse.bias)
         return side_out
