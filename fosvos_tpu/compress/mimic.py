@@ -1,0 +1,185 @@
+"""Mimic / knowledge distillation of slimmed OSVOS students.
+
+Rebuild of ``src/mimic.py``: a width-scaled student
+(``OSVOS_RESNET(scale_down_exponent=k)``, widths /2^k — ``mimic.py:70``)
+learns from a trained teacher's five output maps (or from ground truth):
+
+* loss per output: MSE (sum) | L1 (sum) | CB-BCE (``mimic.py:76-85``);
+  teacher outputs are detached (``mimic.py:211`` → ``stop_gradient``).
+  NB: with CBCEL-from-teacher, the reference thresholds the *teacher logits*
+  at 0.5 (CB-BCE's label binarization) — reproduced as-is.
+* epoch-annealed deep supervision exactly like offline training
+  (``mimic.py:217``): total = (1 - epoch/n_epochs)·Σ(side) + fuse.
+* Adam lr 1e-3, wd 2e-4, grad step every 5 (``mimic.py:74,159``).
+* teacher runs in train mode during training (``mimic.py:67,148-149``):
+  batch statistics, running stats discarded.
+
+TPU-native: teacher+student forward, loss, and update are one jitted step;
+the teacher's params are donated to device once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fosvos_tpu.core.ops import class_balanced_cross_entropy_loss
+from fosvos_tpu.train import optimizers
+from fosvos_tpu.train.state import TrainState, create_state
+
+CRITERIA = ('MSE', 'L1', 'CBCEL')
+
+
+def _criterion_fn(name: str):
+    if name == 'MSE':
+        return lambda o, t: jnp.sum(jnp.square(o - t))
+    if name == 'L1':
+        return lambda o, t: jnp.sum(jnp.abs(o - t))
+    if name == 'CBCEL':
+        return lambda o, t: class_balanced_cross_entropy_loss(o, t)
+    raise ValueError('Unknown loss function')
+
+
+class MimicTrainer:
+    """Distills ``student_model`` from ``teacher_model`` (or ground truth)."""
+
+    def __init__(self, student_model, teacher_model=None,
+                 criterion: str = 'CBCEL', learn_from: str = 'teacher',
+                 learning_rate: float = 1e-3, avg_grad_every_n: int = 5):
+        if learn_from not in ('teacher', 'ground_truth'):
+            raise ValueError(learn_from)
+        if learn_from == 'teacher' and teacher_model is None:
+            raise ValueError('teacher_model required for learn_from=teacher')
+        self.student_model = student_model
+        self.teacher_model = teacher_model
+        self.learn_from = learn_from
+        self.criterion = criterion
+        self.avg_grad_every_n = avg_grad_every_n
+        self.preset = optimizers.Preset(family='adam', lr=learning_rate,
+                                        weight_decay=2e-4, grouped=False)
+        self._optimizer = None
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, student_variables) -> TrainState:
+        if self._optimizer is None:
+            self._build(student_variables['params'])
+        return create_state(student_variables, self._optimizer)
+
+    def _targets(self, teacher_variables, images, gts):
+        if self.learn_from == 'teacher':
+            outs, _ = self.teacher_model.apply(
+                teacher_variables, images, train=True,
+                mutable=['batch_stats'])
+            return [jax.lax.stop_gradient(o) for o in outs]
+        return [gts] * 5
+
+    def _build(self, params):
+        base_opt = optimizers.make_optimizer(self.preset, params)
+        optimizer = optax.MultiSteps(base_opt,
+                                     every_k_schedule=self.avg_grad_every_n)
+        student = self.student_model
+        crit = _criterion_fn(self.criterion)
+        targets = self._targets
+
+        @jax.jit
+        def train_step(state: TrainState, teacher_variables, images, gts,
+                       epoch_frac):
+            ts = targets(teacher_variables, images, gts)
+
+            def loss_fn(p):
+                outs, mut = student.apply(
+                    {'params': p, 'batch_stats': state.batch_stats}, images,
+                    train=True, mutable=['batch_stats'])
+                losses = [crit(o, t) for o, t in zip(outs, ts)]
+                total = (1.0 - epoch_frac) * sum(losses[:-1]) + losses[-1]
+                return total, mut['batch_stats']
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params2 = optax.apply_updates(state.params, updates)
+            return TrainState(params=params2, batch_stats=new_stats,
+                              opt_state=opt_state, step=state.step + 1), loss
+
+        @jax.jit
+        def eval_step(state: TrainState, teacher_variables, images, gts,
+                      epoch_frac):
+            ts = targets(teacher_variables, images, gts)
+            outs = student.apply(
+                {'params': state.params, 'batch_stats': state.batch_stats},
+                images, train=False)
+            losses = [crit(o, t) for o, t in zip(outs, ts)]
+            return (1.0 - epoch_frac) * sum(losses[:-1]) + losses[-1]
+
+        self._optimizer = optimizer
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def train_step(self, state, teacher_variables, images, gts, epoch_frac):
+        return self._train_step(state, teacher_variables,
+                                jnp.asarray(images), jnp.asarray(gts),
+                                jnp.asarray(epoch_frac, jnp.float32))
+
+    def eval_loss(self, state, teacher_variables, images, gts, epoch_frac=0.0):
+        return self._eval_step(state, teacher_variables, jnp.asarray(images),
+                               jnp.asarray(gts),
+                               jnp.asarray(epoch_frac, jnp.float32))
+
+
+@dataclasses.dataclass
+class MimicResult:
+    state: TrainState
+    train_losses: List[float]
+    val_losses: List[float]
+
+
+def train_mimic(student_model, student_variables,
+                teacher_model, teacher_variables,
+                train_batches_fn: Callable[[], Any],
+                val_batches_fn: Optional[Callable[[], Any]] = None,
+                n_epochs: int = 200,
+                criterion: str = 'CBCEL', learn_from: str = 'teacher',
+                learning_rate: float = 1e-3,
+                validate_every_n: int = 10,
+                snapshot_every_n: int = 50,
+                snapshot_fn: Optional[Callable[[int, TrainState], None]] = None
+                ) -> MimicResult:
+    """Reference mimic loop (mimic.py:91-109): train epochs with annealed
+    deep supervision, validate every 10, snapshot every 50."""
+    trainer = MimicTrainer(student_model, teacher_model, criterion,
+                           learn_from, learning_rate)
+    state = trainer.init_state(student_variables)
+
+    train_losses: List[float] = []
+    val_losses: List[float] = []
+    for epoch in range(1, n_epochs + 1):
+        epoch_frac = epoch / n_epochs
+        total = 0.0
+        n = 0
+        for images, gts in train_batches_fn():
+            state, loss = trainer.train_step(state, teacher_variables,
+                                             images, gts, epoch_frac)
+            total += float(loss)
+            n += 1
+        train_losses.append(total / max(n, 1))
+
+        if val_batches_fn is not None and epoch % validate_every_n == 0:
+            vtotal, vn = 0.0, 0
+            for images, gts in val_batches_fn():
+                vtotal += float(trainer.eval_loss(state, teacher_variables,
+                                                  images, gts, epoch_frac))
+                vn += 1
+            val_losses.append(vtotal / max(vn, 1))
+
+        if snapshot_fn is not None and epoch % snapshot_every_n == 0:
+            snapshot_fn(epoch, state)
+
+    return MimicResult(state=state, train_losses=train_losses,
+                       val_losses=val_losses)

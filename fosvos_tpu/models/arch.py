@@ -20,8 +20,15 @@ class BlockWidths:
     ``convs``: output width of each conv in the block, in order. For a
     BasicBlock this is ``(mid, out)``; for a Bottleneck ``(w1, w2, out)``.
     The last entry is the block's output width (the residual width).
+
+    ``force_downsample``: pruning can leave a block whose input and output
+    widths are equal but whose surviving channel *sets* differ; the residual
+    then needs an explicit gather (1x1 downsample) even though the width rule
+    wouldn't create one (the reference hits the same case and creates a fresh
+    downsample, ``prune.py:369-374``).
     """
     convs: Tuple[int, ...]
+    force_downsample: bool = False
 
     @property
     def out(self) -> int:
@@ -62,7 +69,10 @@ class ResNetArch:
     def from_json(s: str) -> 'ResNetArch':
         d = json.loads(s)
         d['stages'] = tuple(
-            tuple(BlockWidths(convs=tuple(b['convs'])) for b in stage)
+            tuple(BlockWidths(convs=tuple(b['convs']),
+                              force_downsample=b.get('force_downsample',
+                                                     False))
+                  for b in stage)
             for stage in d['stages'])
         return ResNetArch(**d)
 

@@ -69,7 +69,8 @@ class BasicBlock(nn.Module):
                     kernel_init=conv_init, name='conv2')(y)
         y = TorchBatchNorm(name='bn2')(y, train)
 
-        if self.stride != 1 or x.shape[-1] != out:
+        if self.stride != 1 or x.shape[-1] != out or \
+                self.widths.force_downsample:
             residual = nn.Conv(out, (1, 1), strides=self.stride, padding=0,
                                use_bias=False, kernel_init=conv_init,
                                name='downsample_conv')(x)
@@ -106,7 +107,8 @@ class Bottleneck(nn.Module):
                     kernel_init=conv_init, name='conv3')(y)
         y = TorchBatchNorm(name='bn3')(y, train)
 
-        if self.stride != 1 or x.shape[-1] != out:
+        if self.stride != 1 or x.shape[-1] != out or \
+                self.widths.force_downsample:
             residual = nn.Conv(out, (1, 1), strides=self.stride, padding=0,
                                use_bias=False, kernel_init=conv_init,
                                name='downsample_conv')(x)
