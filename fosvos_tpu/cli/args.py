@@ -1,0 +1,44 @@
+"""Shared CLI argument surface, reproducing ``src/util/args_helper.py``."""
+from __future__ import annotations
+
+import argparse
+
+
+def get_base_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(add_help=True)
+    parser.add_argument('--gpu-id', '--device-id', dest='device_id',
+                        default=None, type=int,
+                        help='Device index to use (name kept for parity)')
+    parser.add_argument('--network', default='vgg16', type=str,
+                        choices=['vgg16', 'resnet18', 'resnet34'],
+                        help='The network to use')
+    parser.add_argument('--no-training', action='store_true',
+                        help='Skip the training phase')
+    parser.add_argument('--no-testing', action='store_true',
+                        help='Skip the testing phase')
+    parser.add_argument('--variant-offline', default=None, type=int,
+                        help='offline optimizer variant id')
+    parser.add_argument('--eval-speeds', action='store_true',
+                        help='evaluates the network speeds')
+    parser.add_argument('--db-root-dir', default=None, type=str,
+                        help='DAVIS-2016 root (overrides FOSVOS_DB_ROOT)')
+    parser.add_argument('--pretrained-path', default=None, type=str,
+                        help='.pth state_dict of the torchvision trunk')
+    return parser
+
+
+def parse_args(is_online: bool, argv=None) -> argparse.Namespace:
+    parser = get_base_parser()
+    if is_online:
+        parser.add_argument('-s', '--sequence-name', default=None, type=str)
+        parser.add_argument('-sg', '--sequence-group', default=None, type=int)
+        parser.add_argument('-sgs', '--sequence-group-size', default=None,
+                            type=int)
+        parser.add_argument('--variant-online', default=None, type=int)
+        parser.add_argument('--fanout', action='store_true',
+                            help='adapt all sequences in parallel on the '
+                             'device mesh instead of sequentially')
+    args = parser.parse_args(argv)
+    args.is_training = not args.no_training
+    args.is_testing = not args.no_testing
+    return args

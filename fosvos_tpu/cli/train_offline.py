@@ -1,0 +1,109 @@
+"""Offline (parent) training CLI — reference ``src/train_offline.py``.
+
+Usage: python -m fosvos_tpu.cli.train_offline --network resnet18
+       [--variant-offline 11] [--no-training] [--no-testing] [--eval-speeds]
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from fosvos_tpu.cli.args import parse_args
+from fosvos_tpu.config.paths import Paths
+from fosvos_tpu.config.settings import OfflineSettings, write_settings
+from fosvos_tpu.data.davis import DAVIS2016
+from fosvos_tpu.evaluation import experiment
+from fosvos_tpu.runtime.logging import get_logger
+from fosvos_tpu.runtime.providers import provider_mapping
+from fosvos_tpu.runtime.tb import NullWriter, get_summary_writer
+from fosvos_tpu.train import offline
+
+log = get_logger(__file__)
+
+
+def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
+                   save_dir_models, save_dir_results,
+                   use_tensorboard: bool = True) -> None:
+    write_settings(save_dir_models, net_provider.name, settings,
+                   variant_offline=settings.variant_offline)
+
+    if settings.is_training:
+        net_provider.load_network_train()
+        db_train = DAVIS2016(mode='train', db_root_dir=str(db_root_dir))
+        writer = (get_summary_writer(Path(save_dir_models) / 'tb-offline')
+                  if use_tensorboard else NullWriter())
+
+        def log_epoch(stats: offline.EpochStats):
+            # reference scalar names, train_offline.py:93
+            writer.add_scalar('data/total_loss_epoch',
+                              float(stats.mean_losses[-1]), stats.epoch)
+            log.info('[Epoch: %d] fuse loss %f (%.1fs)', stats.epoch,
+                     stats.mean_losses[-1], stats.wall_time_s)
+
+        def snapshot(epoch, state):
+            net_provider.variables = {'params': state.params,
+                                      'batch_stats': state.batch_stats}
+            net_provider.save_model(epoch)
+
+        state = offline.train_offline(
+            net_provider.model, net_provider.variables, db_train,
+            preset=net_provider.get_preset(),
+            n_epochs=settings.n_epochs,
+            start_epoch=settings.start_epoch,
+            batch_size=settings.batch_size_train,
+            avg_grad_every_n=settings.avg_grad_every_n,
+            snapshot_every_n=settings.snapshot_every_n,
+            snapshot_fn=snapshot,
+            log_fn=log_epoch)
+        net_provider.variables = {'params': state.params,
+                                  'batch_stats': state.batch_stats}
+        net_provider.save_model(settings.n_epochs - 1)
+        writer.close()
+
+    if settings.is_testing:
+        net_provider.load_network_test()
+        db_test = DAVIS2016(mode='test', db_root_dir=str(db_root_dir))
+        if settings.variant_offline is None:
+            save_dir = Path(save_dir_results) / net_provider.name / 'offline'
+        else:
+            save_dir = (Path(save_dir_results) / net_provider.name
+                        / str(settings.variant_offline) / 'offline')
+        out = experiment.test(net_provider.model, net_provider.variables,
+                              db_test, str(save_dir),
+                              eval_speeds=settings.eval_speeds,
+                              batch_size=settings.batch_size_test)
+        log.info('Test finished: %d images in %.2fs',
+                 out['n_images'], out['total_time_s'])
+
+
+def main(argv=None):
+    args = parse_args(is_online=False, argv=argv)
+    db_root_dir = args.db_root_dir or Paths.db_root_dir()
+
+    save_dir_models = Path('models')
+    save_dir_models.mkdir(parents=True, exist_ok=True)
+    save_dir_results = Path('results')
+    save_dir_results.mkdir(parents=True, exist_ok=True)
+
+    # reference defaults, train_offline.py:153-157
+    settings = OfflineSettings(
+        is_training=args.is_training, is_testing=args.is_testing,
+        start_epoch=0, n_epochs=240, avg_grad_every_n=10, snapshot_every_n=40,
+        is_testing_while_training=False, test_every_n=5, batch_size_train=1,
+        batch_size_test=1, is_visualizing_network=False,
+        is_visualizing_results=False, is_loading_vgg_caffe=False,
+        variant_offline=args.variant_offline, eval_speeds=args.eval_speeds)
+
+    provider_class = provider_mapping[('offline', args.network)]
+    version = 34 if args.network == 'resnet34' else 18
+    net_provider = provider_class(args.network, save_dir_models, settings,
+                                  variant_offline=args.variant_offline,
+                                  version=version,
+                                  pretrained_path=args.pretrained_path)
+    train_and_test(net_provider, settings, db_root_dir, save_dir_models,
+                   save_dir_results)
+
+
+if __name__ == '__main__':
+    main()

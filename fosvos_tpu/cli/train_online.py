@@ -1,0 +1,167 @@
+"""Online (one-shot) fine-tune CLI — reference ``src/train_online.py``.
+
+Per sequence: adapt the offline parent on the first annotated frame
+(compiled scans), then segment the whole sequence and write masks.
+
+Scale-out: the reference shards the 20 val sequences across processes
+(``-sg/-sgs``); those flags still work, and ``--fanout`` instead adapts all
+selected sequences *in parallel* on the device mesh (fosvos_tpu.parallel).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from fosvos_tpu.cli.args import parse_args
+from fosvos_tpu.config.paths import Paths
+from fosvos_tpu.config.settings import OnlineSettings, write_settings
+from fosvos_tpu.data.davis import DAVIS2016, VAL_SEQUENCES
+from fosvos_tpu.evaluation import experiment
+from fosvos_tpu.runtime.logging import get_logger
+from fosvos_tpu.runtime.providers import provider_mapping
+from fosvos_tpu.train import online
+
+log = get_logger(__file__)
+
+
+def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
+                   seq_name: str, settings: OnlineSettings, db_root_dir,
+                   save_dir_models, save_dir_results) -> None:
+    write_settings(save_dir_models, net_provider.name, settings,
+                   variant_offline=settings.variant_offline,
+                   variant_online=settings.variant_online)
+
+    if settings.is_training:
+        net_provider.load_network_train()
+        db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
+                       seq_name=seq_name)
+        img, gt = db.make_img_gt_pair(0)
+        if tuner is None:
+            tuner = online.OnlineFinetuner(net_provider.model,
+                                           net_provider.get_preset(),
+                                           settings.avg_grad_every_n)
+        res = tuner.finetune(net_provider.variables, img, gt,
+                             n_epochs=settings.n_epochs)
+        log.info('Train %s: total time %s sec', seq_name, res.wall_time_s)
+        log.info('Train %s: %d steps, final loss %f', seq_name, res.n_steps,
+                 res.losses[-1])
+        net_provider.variables = {'params': res.state.params,
+                                  'batch_stats': res.state.batch_stats}
+        net_provider.save_model(settings.n_epochs - 1, sequence=seq_name)
+
+    if settings.is_testing:
+        if not settings.is_training:
+            net_provider.load_network_test(sequence=seq_name)
+        db = DAVIS2016(mode='test', db_root_dir=str(db_root_dir),
+                       seq_name=seq_name)
+        if settings.variant_offline is None:
+            save_dir = Path(save_dir_results) / net_provider.name / 'online'
+        else:
+            save_dir = (Path(save_dir_results) / net_provider.name
+                        / str(settings.variant_offline)
+                        / str(settings.variant_online))
+        out = experiment.test(net_provider.model, net_provider.variables, db,
+                              str(save_dir), seq_name=seq_name,
+                              eval_speeds=settings.eval_speeds,
+                              batch_size=settings.batch_size_test)
+        log.info('Test %s: %d images in %.2fs', seq_name, out['n_images'],
+                 out['total_time_s'])
+
+
+def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
+               db_root_dir, save_dir_models, save_dir_results) -> None:
+    """All sequences at once on the mesh (fosvos_tpu.parallel.fanout)."""
+    import jax
+    from fosvos_tpu.parallel import fanout, make_mesh
+
+    net_provider.load_network_train()
+    imgs, gts = [], []
+    for seq in sequences:
+        db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
+                       seq_name=seq)
+        img, gt = db.make_img_gt_pair(0)
+        imgs.append(img)
+        gts.append(gt)
+
+    mesh = make_mesh(('seq',))
+    fo = fanout.SequenceFanout(net_provider.model, mesh,
+                               net_provider.get_preset(),
+                               settings.avg_grad_every_n)
+    res = fo.finetune_all(net_provider.variables, np.stack(imgs),
+                          np.stack(gts), n_epochs=settings.n_epochs)
+    log.info('Fanout: adapted %d sequences in %.2fs on %d devices',
+             len(sequences), res.wall_time_s, mesh.size)
+
+    for k, seq in enumerate(sequences):
+        net_provider.variables = jax.tree.map(
+            lambda a: a[k], {'params': res.params,
+                             'batch_stats': res.batch_stats})
+        net_provider.save_model(settings.n_epochs - 1, sequence=seq)
+        if settings.is_testing:
+            db = DAVIS2016(mode='test', db_root_dir=str(db_root_dir),
+                           seq_name=seq)
+            save_dir = (Path(save_dir_results) / net_provider.name
+                        / str(settings.variant_offline)
+                        / str(settings.variant_online))
+            experiment.test(net_provider.model, net_provider.variables, db,
+                            str(save_dir), seq_name=seq,
+                            batch_size=settings.batch_size_test)
+
+
+def main(argv=None):
+    args = parse_args(is_online=True, argv=argv)
+    db_root_dir = args.db_root_dir or Paths.db_root_dir()
+
+    save_dir_models = Path('models')
+    save_dir_models.mkdir(parents=True, exist_ok=True)
+    save_dir_results = Path('results')
+    save_dir_results.mkdir(parents=True, exist_ok=True)
+
+    # reference defaults, train_online.py:147-152
+    settings = OnlineSettings(
+        is_training=args.is_training, is_testing=args.is_testing,
+        start_epoch=0, n_epochs=10000, avg_grad_every_n=5,
+        snapshot_every_n=10000, is_testing_while_training=False,
+        test_every_n=5, batch_size_train=1, batch_size_test=1,
+        is_visualizing_network=False, is_visualizing_results=False,
+        offline_epoch=240, variant_offline=args.variant_offline,
+        variant_online=args.variant_online, eval_speeds=args.eval_speeds)
+
+    provider_class = provider_mapping[('online', args.network)]
+    version = 34 if args.network == 'resnet34' else 18
+    net_provider = provider_class(args.network, save_dir_models, settings,
+                                  variant_offline=args.variant_offline,
+                                  variant_online=args.variant_online,
+                                  version=version)
+
+    if args.sequence_name is not None:
+        sequences = [args.sequence_name]
+    elif args.sequence_group is not None:
+        # manual process-sharding kept for parity (train_online.py:183-186)
+        sequences = [s for i, s in enumerate(VAL_SEQUENCES)
+                     if i % args.sequence_group_size == args.sequence_group]
+    else:
+        sequences = list(VAL_SEQUENCES)
+
+    if getattr(args, 'fanout', False) and len(sequences) > 1:
+        run_fanout(net_provider, sequences, settings, db_root_dir,
+                   save_dir_models, save_dir_results)
+        return
+
+    # one finetuner reused across sequences: compile once
+    tuner = None
+    for seq in sequences:
+        if tuner is None and settings.is_training:
+            net_provider.load_network_train()
+            tuner = online.OnlineFinetuner(net_provider.model,
+                                           net_provider.get_preset(),
+                                           settings.avg_grad_every_n)
+        train_and_test(net_provider, tuner, seq, settings, db_root_dir,
+                       save_dir_models, save_dir_results)
+
+
+if __name__ == '__main__':
+    main()

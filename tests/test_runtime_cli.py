@@ -1,0 +1,174 @@
+"""Runtime subsystems + CLI pipelines on the synthetic fixture."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.config.settings import (OfflineSettings, OnlineSettings,
+                                        write_settings)
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.runtime import checkpoint
+from fosvos_tpu.runtime.providers import (ResNetOnlineProvider,
+                                          provider_mapping)
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    variables = {'params': {'a': {'kernel': np.arange(6.).reshape(2, 3)},
+                            'b': {'bias': np.zeros(4)}},
+                 'batch_stats': {'bn': {'mean': np.ones(3)}}}
+    stem = checkpoint.checkpoint_stem('resnet18', 239, variant_offline=11)
+    assert stem == 'resnet18_11_epoch-239'
+    checkpoint.save(str(tmp_path), stem, variables, arch_json='{"x": 1}')
+    loaded, arch = checkpoint.load(str(tmp_path), stem)
+    assert arch == '{"x": 1}'
+    np.testing.assert_array_equal(loaded['params']['a']['kernel'],
+                                  variables['params']['a']['kernel'])
+    np.testing.assert_array_equal(loaded['batch_stats']['bn']['mean'],
+                                  np.ones(3))
+    assert checkpoint.exists(str(tmp_path), stem)
+    assert not checkpoint.exists(str(tmp_path), 'nope')
+
+
+def test_checkpoint_stem_online_sequence():
+    stem = checkpoint.checkpoint_stem('resnet18', 9999, 11, 11, 'blackswan')
+    assert stem == 'resnet18_11_11_blackswan_epoch-9999'
+
+
+def test_write_settings_yaml(tmp_path):
+    import yaml
+    s = OnlineSettings(variant_offline=11, variant_online=11)
+    path = write_settings(str(tmp_path), 'resnet18', s, 11, 11)
+    assert Path(path).name.startswith('resnet18_11_11_settings_')
+    doc = yaml.safe_load(Path(path).read_text())
+    assert doc['n_epochs'] == 10000
+    assert doc['avg_grad_every_n'] == 5
+
+
+def test_provider_save_load_roundtrip(tmp_path):
+    settings = OnlineSettings(n_epochs=9)
+    p = ResNetOnlineProvider('resnet18', str(tmp_path), settings,
+                             variant_offline=11, variant_online=11)
+    p.init_network(resnet_arch(18, scale_down_exponent=4))
+    p.variables = jax.tree.map(jnp.asarray, p.variables)
+    path = p.save_model(9, sequence='synth-swan')
+    assert 'resnet18_11_11_synth-swan_epoch-9' in path
+
+    p2 = ResNetOnlineProvider('resnet18', str(tmp_path), settings,
+                              variant_offline=11, variant_online=11)
+    p2.load_model(9, sequence='synth-swan')
+    np.testing.assert_array_equal(
+        np.asarray(p2.variables['params']['layer_fuse']['kernel']),
+        np.asarray(p.variables['params']['layer_fuse']['kernel']))
+    # arch restored from JSON (width-4 student, not default 18)
+    assert p2.model.arch.base_out == 4
+
+
+def test_provider_migrates_reference_pth(tmp_path):
+    """A reference-format .pth state_dict loads transparently."""
+    import torch
+    from tests.test_import_torch import _reference_osvos_resnet18_sd
+    rng = np.random.RandomState(0)
+    sd = {k: torch.as_tensor(v)
+          for k, v in _reference_osvos_resnet18_sd(rng).items()}
+    pth = tmp_path / 'resnet18_11_epoch-239.pth'
+    torch.save(sd, str(pth))
+
+    p = ResNetOnlineProvider('resnet18', str(tmp_path), OnlineSettings())
+    p.load_model(0, path=str(pth))
+    outs = p.model.apply(p.variables, jnp.zeros((1, 32, 48, 3), jnp.float32),
+                         train=False)
+    assert len(outs) == 5
+
+
+def test_provider_mapping_complete():
+    assert set(provider_mapping) == {
+        ('offline', 'vgg16'), ('online', 'vgg16'),
+        ('offline', 'resnet18'), ('online', 'resnet18'),
+        ('offline', 'resnet34'), ('online', 'resnet34')}
+
+
+def test_online_cli_end_to_end(db, tmp_path, monkeypatch):
+    """Full train_online CLI path on the fixture with shrunk budgets."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        'fosvos_tpu.data.davis.VAL_SEQUENCES', ['synth-swan'])
+
+    from fosvos_tpu.cli import train_online as cli_mod
+
+    # shrink the run: patch settings constructed in main via argv + monkeypatch
+    orig_settings = cli_mod.OnlineSettings
+
+    def small_settings(**kw):
+        kw.update(n_epochs=12, snapshot_every_n=12)
+        return orig_settings(**kw)
+
+    monkeypatch.setattr(cli_mod, 'OnlineSettings', small_settings)
+    monkeypatch.setattr(cli_mod, 'VAL_SEQUENCES', ['synth-swan'])
+
+    # the provider needs an offline parent checkpoint to start from: fake one
+    settings = small_settings(is_training=True, is_testing=True,
+                              variant_offline=11, variant_online=11)
+    seed_provider = ResNetOnlineProvider('resnet18', 'models', settings,
+                                         variant_offline=11,
+                                         variant_online=11)
+    seed_provider.init_network(resnet_arch(18, scale_down_exponent=4))
+    seed_provider.variables = jax.tree.map(jnp.asarray,
+                                           seed_provider.variables)
+    Path('models').mkdir(exist_ok=True)
+    seed_provider.save_model(240)  # offline_epoch default
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--variant-online', '11', '-s', 'synth-swan',
+                  '--db-root-dir', db])
+
+    # adapted checkpoint + masks exist
+    assert checkpoint.exists('models', 'resnet18_11_11_synth-swan_epoch-11')
+    masks = sorted(Path('results/resnet18/11/11/synth-swan').glob('*.png'))
+    assert len(masks) == 4
+
+
+def test_evaluate_cli(db, tmp_path, monkeypatch):
+    """J&F CLI on perfect (ground-truth) masks -> J=F=1."""
+    import cv2
+    results = tmp_path / 'results'
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    for s in ds.samples:
+        out = results / s.seq_name
+        out.mkdir(parents=True, exist_ok=True)
+        ann = cv2.imread(s.label_path, 0)
+        cv2.imwrite(str(out / f'{s.fname}.png'), ann)
+
+    from fosvos_tpu.cli import evaluate
+    ev = evaluate.evaluate_results(str(results), db)
+    s = ev.summary()
+    assert s['J_mean'] == 1.0 and s['F_mean'] == 1.0
+
+    out_yaml = tmp_path / 'metrics.yml'
+    evaluate.main(['--results-dir', str(results), '--db-root-dir', db,
+                   '--output', str(out_yaml)])
+    import yaml
+    doc = yaml.safe_load(out_yaml.read_text())
+    assert doc['dataset']['J_mean'] == 1.0
+    assert 'synth-swan' in doc['sequences']
+
+
+def test_visualize_network(tmp_path):
+    from fosvos_tpu.runtime.visualize import visualize_network
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    out = visualize_network(model, variables, input_shape=(1, 32, 48, 3),
+                            out_dir=str(tmp_path))
+    assert Path(out['jaxpr']).exists()
+    assert 'conv' in Path(out['hlo']).read_text().lower()
