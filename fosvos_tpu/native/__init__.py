@@ -1,0 +1,69 @@
+"""Native (C++) components: threaded image decode + prefetch.
+
+The shared library is built on demand with g++ (libjpeg/libpng); if the
+toolchain or libraries are unavailable the framework transparently falls back
+to the Python/cv2 path (``fosvos_tpu.data.loader``).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+_DIR = Path(__file__).parent
+_SO = _DIR / 'libfastloader.so'
+_lib = None
+_build_error: Optional[str] = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile libfastloader.so. Returns True on success."""
+    global _build_error
+    if _SO.exists() and not force:
+        return True
+    cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
+           str(_DIR / 'fastloader.cpp'), '-o', str(_SO),
+           '-ljpeg', '-lpng', '-lpthread']
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        _build_error = str(e)
+        return False
+    if proc.returncode != 0:
+        _build_error = proc.stderr
+        return False
+    return True
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Build (if needed) and dlopen the native library; None on failure."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not build():
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.fl_create.restype = ctypes.c_void_p
+    lib.fl_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    lib.fl_next.restype = ctypes.c_int
+    lib.fl_next.argtypes = [ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_float),
+                            ctypes.POINTER(ctypes.c_float),
+                            ctypes.c_int, ctypes.c_int]
+    lib.fl_destroy.argtypes = [ctypes.c_void_p]
+    lib.fl_probe_size.restype = ctypes.c_int
+    lib.fl_probe_size.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return _lib
+
+
+def build_error() -> Optional[str]:
+    return _build_error

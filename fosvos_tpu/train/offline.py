@@ -92,28 +92,38 @@ class OfflineTrainer:
 
 def iterate_batches(dataset: DAVIS2016, batch_size: int,
                     rng: np.random.RandomState, augment: bool = True,
-                    scales: Sequence[float] = transforms.TRAIN_SCALES
+                    scales: Sequence[float] = transforms.TRAIN_SCALES,
+                    use_native: bool = True
                     ) -> Iterator[Dict[str, np.ndarray]]:
     """Shuffled, augmented batches with one scale per batch.
 
     Matches the reference pipeline (shuffle=True, Compose[Flip, Resize],
     ``io_helper.py:62-70``) at batch 1; scale is drawn per batch so shapes
-    stay static within a batch.
+    stay static within a batch. Decoding runs on the native C++ prefetch
+    threads when available (``fosvos_tpu.data.loader``); samples are grouped
+    into batches in completion order, which only re-permutes an
+    already-shuffled epoch.
     """
-    order = rng.permutation(len(dataset))
-    for start in range(0, len(order) - batch_size + 1, batch_size):
-        idxs = order[start:start + batch_size]
-        scale = scales[rng.randint(len(scales))] if augment else 1.0
-        imgs, gts = [], []
-        for i in idxs:
-            img, gt = dataset.make_img_gt_pair(int(i))
-            s = {'image': img, 'gt': gt}
-            if augment:
-                s = transforms.random_horizontal_flip(s, rng)
-                s = transforms.resize(s, scale)
-            imgs.append(s['image'])
-            gts.append(s['gt'][..., None])
-        yield {'image': np.stack(imgs), 'gt': np.stack(gts)}
+    from fosvos_tpu.data import loader as data_loader
+    order = list(rng.permutation(len(dataset)))
+    pending_imgs, pending_gts = [], []
+    for _, img, gt in data_loader.iterate_samples(dataset, order,
+                                                  use_native=use_native):
+        s = {'image': img, 'gt': gt}
+        if augment:
+            s = transforms.random_horizontal_flip(s, rng)
+        pending_imgs.append(s['image'])
+        pending_gts.append(s['gt'])
+        if len(pending_imgs) == batch_size:
+            scale = scales[rng.randint(len(scales))] if augment else 1.0
+            imgs, gts = [], []
+            for im, g in zip(pending_imgs, pending_gts):
+                b = transforms.resize({'image': im, 'gt': g}, scale) \
+                    if augment else {'image': im, 'gt': g}
+                imgs.append(b['image'])
+                gts.append(b['gt'][..., None])
+            yield {'image': np.stack(imgs), 'gt': np.stack(gts)}
+            pending_imgs, pending_gts = [], []
 
 
 @dataclasses.dataclass

@@ -1,0 +1,54 @@
+"""Native C++ loader: build, decode parity with cv2, prefetch iteration."""
+import numpy as np
+import pytest
+
+from fosvos_tpu import native
+from fosvos_tpu.data import davis, loader, synthetic
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')),
+                              n_frames=4)
+
+
+def test_native_builds():
+    assert native.build(), native.build_error()
+    assert native.load_library() is not None
+
+
+def test_native_decode_matches_cv2(db):
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    got = {}
+    with loader.NativePrefetcher(ds, n_threads=2) as pf:
+        for idx, img, gt in pf:
+            got[idx] = (img, gt)
+    assert len(got) == len(ds)
+    for i in range(len(ds)):
+        img_ref, gt_ref = ds.make_img_gt_pair(i)
+        img, gt = got[i]
+        # same JPEG decoder family (libjpeg): allow +-1 intensity from
+        # rounding differences in IDCT paths
+        assert np.abs(img - img_ref).max() <= 1.0
+        np.testing.assert_allclose(gt, gt_ref, atol=1 / 255 + 1e-6)
+        # mask is exactly binary on the fixture
+        assert set(np.unique(gt)).issubset({0.0, 1.0})
+
+
+def test_iterate_samples_native_and_fallback(db):
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    native_items = sorted(loader.iterate_samples(ds, use_native=True),
+                          key=lambda t: t[0])
+    py_items = sorted(loader.iterate_samples(ds, use_native=False),
+                      key=lambda t: t[0])
+    assert [i for i, _, _ in native_items] == [i for i, _, _ in py_items]
+    for (_, a, ga), (_, b, gb) in zip(native_items, py_items):
+        assert np.abs(a - b).max() <= 1.0
+        np.testing.assert_allclose(ga, gb, atol=1 / 255 + 1e-6)
+
+
+def test_shuffled_order(db):
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    order = list(np.random.RandomState(0).permutation(len(ds)))
+    seen = [i for i, _, _ in loader.iterate_samples(ds, order=order)]
+    assert sorted(seen) == sorted(order)
