@@ -24,6 +24,9 @@ def get_base_parser() -> argparse.ArgumentParser:
                         help='DAVIS-2016 root (overrides FOSVOS_DB_ROOT)')
     parser.add_argument('--pretrained-path', default=None, type=str,
                         help='.pth state_dict of the torchvision trunk')
+    parser.add_argument('--data-parallel', action='store_true',
+                        help='shard the batch over all devices of the mesh '
+                             '(offline training)')
     return parser
 
 

@@ -46,23 +46,28 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                                       'batch_stats': state.batch_stats}
             net_provider.save_model(epoch)
 
-        state = offline.train_offline(
-            net_provider.model, net_provider.variables, db_train,
-            preset=net_provider.get_preset(),
-            n_epochs=settings.n_epochs,
-            start_epoch=settings.start_epoch,
-            batch_size=settings.batch_size_train,
-            avg_grad_every_n=settings.avg_grad_every_n,
-            snapshot_every_n=settings.snapshot_every_n,
-            snapshot_fn=snapshot,
-            log_fn=log_epoch)
+        if getattr(settings, 'data_parallel', False):
+            state = _train_data_parallel(net_provider, db_train, settings,
+                                         log_epoch, snapshot)
+        else:
+            state = offline.train_offline(
+                net_provider.model, net_provider.variables, db_train,
+                preset=net_provider.get_preset(),
+                n_epochs=settings.n_epochs,
+                start_epoch=settings.start_epoch,
+                batch_size=settings.batch_size_train,
+                avg_grad_every_n=settings.avg_grad_every_n,
+                snapshot_every_n=settings.snapshot_every_n,
+                snapshot_fn=snapshot,
+                log_fn=log_epoch)
         net_provider.variables = {'params': state.params,
                                   'batch_stats': state.batch_stats}
         net_provider.save_model(settings.n_epochs - 1)
         writer.close()
 
     if settings.is_testing:
-        net_provider.load_network_test()
+        if not settings.is_training:
+            net_provider.load_network_test()
         db_test = DAVIS2016(mode='test', db_root_dir=str(db_root_dir))
         if settings.variant_offline is None:
             save_dir = Path(save_dir_results) / net_provider.name / 'offline'
@@ -75,6 +80,40 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                               batch_size=settings.batch_size_test)
         log.info('Test finished: %d images in %.2fs',
                  out['n_images'], out['total_time_s'])
+
+
+def _train_data_parallel(net_provider, db_train, settings, log_epoch,
+                         snapshot):
+    """Mesh data-parallel offline training over all local devices
+    (fosvos_tpu.parallel.data_parallel); the effective batch is
+    batch_size_train * n_devices, sharded over the 'data' axis."""
+    import time
+    import numpy as np
+    from fosvos_tpu.parallel import data_parallel, make_mesh
+
+    mesh = make_mesh(('data',))
+    trainer = data_parallel.ShardedOfflineTrainer(
+        net_provider.model, mesh, net_provider.get_preset(),
+        settings.avg_grad_every_n)
+    state = trainer.init_state(net_provider.variables)
+    rng = np.random.RandomState(0)
+    global_batch = settings.batch_size_train * mesh.size
+    for epoch in range(settings.start_epoch, settings.n_epochs):
+        t0 = time.perf_counter()
+        sums, n = np.zeros(5), 0
+        for batch in offline.iterate_batches(db_train, global_batch, rng):
+            state, losses = trainer.train_step(state, batch['image'],
+                                               batch['gt'],
+                                               epoch / settings.n_epochs)
+            sums += np.asarray(losses)
+            n += 1
+        log_epoch(offline.EpochStats(epoch=epoch,
+                                     mean_losses=sums / max(n, 1),
+                                     wall_time_s=time.perf_counter() - t0))
+        if epoch % settings.snapshot_every_n == settings.snapshot_every_n - 1 \
+                and epoch != 0:
+            snapshot(epoch, state)
+    return state
 
 
 def main(argv=None):
@@ -94,6 +133,7 @@ def main(argv=None):
         batch_size_test=1, is_visualizing_network=False,
         is_visualizing_results=False, is_loading_vgg_caffe=False,
         variant_offline=args.variant_offline, eval_speeds=args.eval_speeds)
+    settings.data_parallel = args.data_parallel
 
     provider_class = provider_mapping[('offline', args.network)]
     version = 34 if args.network == 'resnet34' else 18

@@ -48,6 +48,20 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
         log.info('Train %s: total time %s sec', seq_name, res.wall_time_s)
         log.info('Train %s: %d steps, final loss %f', seq_name, res.n_steps,
                  res.losses[-1])
+        # per-step losses to TensorBoard, reference tag names
+        # (train_online.py:90,98,104); written post-hoc since the loop is
+        # fully on-device
+        from fosvos_tpu.runtime.tb import get_summary_writer
+        writer = get_summary_writer(
+            Path('tensorboard') / net_provider.name / (seq_name or 'all'))
+        for step, loss in enumerate(res.losses):
+            if step % settings.avg_grad_every_n == 0:
+                writer.add_scalar('data/total_loss_iter', float(loss), step)
+        chunk = max(settings.n_epochs // 20, 1)
+        for e in range(0, res.n_steps, chunk):
+            writer.add_scalar('data/total_loss_epoch',
+                              float(res.losses[e:e + chunk].mean()), e)
+        writer.close()
         net_provider.variables = {'params': res.state.params,
                                   'batch_stats': res.state.batch_stats}
         net_provider.save_model(settings.n_epochs - 1, sequence=seq_name)

@@ -130,8 +130,13 @@ class NetworkProvider:
         raise NotImplementedError
 
     def load_network_test(self, sequence: Optional[str] = None) -> None:
+        # final snapshot lands at epoch n_epochs-1 (training loops count
+        # 0..n_epochs-1). The reference nominally loads epoch n_epochs
+        # (network_provider.py:94-96) but its load_model ignores the epoch
+        # entirely via the save_dir-tuple quirk (SURVEY.md §2 defects);
+        # we use the real final epoch.
         self.init_network()
-        self.load_model(self.settings.n_epochs, sequence=sequence)
+        self.load_model(self.settings.n_epochs - 1, sequence=sequence)
 
     def get_preset(self) -> optimizers.Preset:
         raise NotImplementedError

@@ -60,28 +60,28 @@ def test_evaluate_sequence_and_dataset():
 
 @pytest.fixture(scope='module')
 def db(tmp_path_factory):
-    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')), size=(32, 48))
 
 
 def test_experiment_test_writes_masks(db, tmp_path):
     model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
-    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
     ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
     out = experiment.test(model, variables, ds, str(tmp_path / 'results'),
                           seq_name='synth-swan', batch_size=2)
     masks = out['synth-swan']
-    assert masks.shape == (4, 64, 96) and masks.dtype == np.uint8
+    assert masks.shape == (4, 32, 48) and masks.dtype == np.uint8
     import cv2
     png = cv2.imread(str(tmp_path / 'results' / 'synth-swan' / '00002.png'), 0)
-    assert png is not None and png.shape == (64, 96)
+    assert png is not None and png.shape == (32, 48)
     np.testing.assert_array_equal(png, masks[2])
 
 
 def test_experiment_benchmark(db):
     model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
-    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
     out = experiment.test(model, variables, ds, '/tmp/unused',
@@ -94,7 +94,7 @@ def test_experiment_benchmark(db):
 def test_masks_batch_padding(db):
     """T not divisible by batch size must still emit exactly T masks."""
     model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
-    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     engine = experiment.InferenceEngine(model, batch_size=3)
     ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-goat')

@@ -19,7 +19,7 @@ from fosvos_tpu.runtime.providers import (ResNetOnlineProvider,
 
 @pytest.fixture(scope='module')
 def db(tmp_path_factory):
-    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')), size=(32, 48))
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -16,14 +16,14 @@ from fosvos_tpu.train import offline, online, optimizers
 
 @pytest.fixture(scope='module')
 def db(tmp_path_factory):
-    return synthetic.generate(str(tmp_path_factory.mktemp('davis')))
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')), size=(32, 48))
 
 
 @pytest.fixture(scope='module')
 def tiny_model():
     # sde=3 -> widths [8,16,32,64]: fast on CPU but the real topology
     model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=3))
-    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     return model, variables
 
@@ -116,8 +116,8 @@ def test_gradient_accumulation_steps_only_every_n(tiny_model):
     trainer = offline.OfflineTrainer(model, optimizers.offline_variant(11),
                                      avg_grad_every_n=3)
     state = trainer.init_state(variables)
-    img = np.random.RandomState(0).randn(1, 64, 96, 3).astype(np.float32)
-    gt = (np.random.RandomState(1).rand(1, 64, 96, 1) > 0.5).astype(np.float32)
+    img = np.random.RandomState(0).randn(1, 32, 48, 3).astype(np.float32)
+    gt = (np.random.RandomState(1).rand(1, 32, 48, 1) > 0.5).astype(np.float32)
 
     p0 = state.params['layer_fuse']['kernel']
     state, _ = trainer.train_step(state, img, gt, 0.0)
