@@ -91,13 +91,13 @@ def test_sequence_fanout_adapts_each_sequence(db, tiny):
     m = make_mesh(('seq',))
     fo = fanout.SequenceFanout(model, m, optimizers.online_variant(10),
                                avg_grad_every_n=5)
-    res = fo.finetune_all(variables, imgs, gts, n_epochs=150, augment=False,
+    res = fo.finetune_all(variables, imgs, gts, n_epochs=300, augment=False,
                           seed=0)
 
-    assert res.losses.shape == (150, 8)
+    assert res.losses.shape == (300, 8)
     assert np.isfinite(res.losses).all()
     # each sequence's loss decreased a lot
-    assert (res.losses[-1] < res.losses[0] * 0.3).all()
+    assert (res.losses[-1] < res.losses[0] * 0.1).all()
 
     # per-sequence params actually diverged
     k0 = np.asarray(res.params['layer_fuse']['kernel'][0])
@@ -111,7 +111,7 @@ def test_sequence_fanout_adapts_each_sequence(db, tiny):
     pred = np.asarray(outs[-1][0, ..., 0]) > 0
     g = gts[0] >= 0.5
     iou = np.logical_and(pred, g).sum() / max(np.logical_or(pred, g).sum(), 1)
-    assert iou > 0.6
+    assert iou > 0.8
 
 
 def test_fanout_pads_sequences_to_mesh(db, tiny):
