@@ -115,22 +115,23 @@ def device_flip(images, gts, flip):
 
 def scale_buckets(n_steps: int, rng: np.random.RandomState,
                   scales: Sequence[float] = TRAIN_SCALES):
-    """Pre-sample per-step (scale, flip) draws and group steps by scale.
+    """Pre-sample per-step flips and group steps into per-scale buckets.
 
     XLA needs static shapes, so instead of the reference's per-step random
-    shape (custom_transforms.py:72-92 inside a Python loop), we draw all
-    n_steps (scale, flip) pairs up front and run one compiled scan per scale
-    bucket. The draws are i.i.d., so bucketing only reorders steps — the
-    optimizer trajectory differs from torch's step order but the augmentation
-    distribution is identical.
+    shape (custom_transforms.py:72-92 inside a Python loop), we assign each
+    scale a **deterministic share** of the n_steps (uniform split, remainder
+    to the first scales) and draw only the flips randomly. Scale counts over
+    10k uniform draws concentrate to n/k anyway; fixing them exactly makes
+    every bucket's scan length a function of n_steps alone, so the compiled
+    scans are reused across sequences and seeds (one compile per scale for a
+    whole 20-sequence sweep).
 
     Returns list of (scale, flips-array) with sum(len(flips)) == n_steps.
     """
-    scale_idx = rng.randint(0, len(scales), size=n_steps)
-    flips = rng.rand(n_steps) < 0.5
+    k = len(scales)
     out = []
-    for si, scale in enumerate(scales):
-        m = scale_idx == si
-        if m.any():
-            out.append((scale, flips[m].astype(np.int32)))
+    for i, scale in enumerate(scales):
+        n = n_steps // k + (1 if i < n_steps % k else 0)
+        if n:
+            out.append((scale, (rng.rand(n) < 0.5).astype(np.int32)))
     return out
