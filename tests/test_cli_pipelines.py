@@ -1,0 +1,129 @@
+"""Smoke tests for the webcam, prune, and mimic CLI pipelines on the fixture
+(tiny models via monkeypatched constructors)."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.data import synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.runtime import checkpoint
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')),
+                              size=(32, 48))
+
+
+def _tiny_vars(seed=0):
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    return model, jax.tree.map(jnp.asarray, variables)
+
+
+def test_run_webcam_on_video(tmp_path, monkeypatch):
+    """Headless video-file inference end-to-end with a tiny checkpoint."""
+    import cv2
+    # tiny model checkpoint on disk (arch JSON + npz)
+    model, variables = _tiny_vars()
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'tiny', variables, model.arch.to_json())
+
+    # 6-frame test video
+    video = str(tmp_path / 'clip.avi')
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8, (48, 32))
+    rng = np.random.RandomState(0)
+    for _ in range(6):
+        vw.write(rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8))
+    vw.release()
+
+    from fosvos_tpu.cli import run_webcam
+    run_webcam.main(['--variant', 'prune', '--version', '0',
+                     '--model-path', str(ckpt_dir / 'tiny.npz'),
+                     '--video', video, '--headless', '--max-frames', '4',
+                     '--no-mirror'], standalone_mode=False)
+
+
+def test_run_webcam_get_network_resnet_npz(tmp_path):
+    from fosvos_tpu.cli import run_webcam
+    model, variables = _tiny_vars()
+    # full-resnet default path: store under models/resnet18 with matching arch
+    checkpoint.save(str(tmp_path), 'm', variables, model.arch.to_json())
+    got_model, got_vars = run_webcam.get_network(
+        'prune', 1, str(tmp_path / 'm.npz'))
+    outs = got_model.apply(got_vars, jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    assert len(outs) == 5
+
+
+def test_prune_cli_end_to_end(db, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from fosvos_tpu.cli import prune as cli_mod
+    from fosvos_tpu.models import arch as arch_mod
+
+    # shrink the model the CLI builds
+    monkeypatch.setattr(
+        cli_mod, 'resnet_arch',
+        lambda v=18, sde=0: arch_mod.resnet_arch(18, scale_down_exponent=4))
+
+    cli_mod.main(['-s', 'synth-swan', '--db-root-dir', db,
+                  '--prune-per-iter', '16', '--n-epochs-select', '1',
+                  '--n-epochs-finetune', '1', '--percentage-max', '10'])
+
+    stem = 'synth-swan_percentage-10'
+    models_dir = ('models/resnet18/11/prune/'
+                  'prune_per_iter=16,epochs_select=1,epochs_finetune=1/online')
+    assert checkpoint.exists(models_dir, stem)
+    # arch JSON says the model shrank
+    _, arch_json = checkpoint.load(models_dir, stem)
+    small = arch_mod.ResNetArch.from_json(arch_json)
+    full = arch_mod.resnet_arch(18, scale_down_exponent=4)
+    n_small = small.base_out + sum(sum(b.convs) for st in small.stages
+                                   for b in st)
+    n_full = full.base_out + sum(sum(b.convs) for st in full.stages
+                                 for b in st)
+    assert n_small < n_full
+    # masks written for the sequence at the checkpoint percentage
+    masks = list(Path('results/resnet18/11/prune/'
+                      'prune_per_iter=16,epochs_select=1,epochs_finetune=1/'
+                      'online/10/synth-swan').glob('*.png'))
+    assert len(masks) == 4
+
+
+def test_mimic_cli_end_to_end(db, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from fosvos_tpu.cli import mimic as cli_mod
+    from fosvos_tpu.models import arch as arch_mod
+
+    # teacher checkpoint (tiny widths) + shrink CLI-built archs
+    teacher_model, teacher_vars = _tiny_vars(seed=3)
+    checkpoint.save('teacher', 't', teacher_vars, teacher_model.arch.to_json())
+
+    real_arch = arch_mod.resnet_arch
+
+    def tiny_arch(version=18, scale_down_exponent=0):
+        return real_arch(18, scale_down_exponent=max(scale_down_exponent, 4))
+
+    monkeypatch.setattr(cli_mod, 'resnet_arch', tiny_arch)
+
+    cli_mod.main(['-s', 'synth-swan', '--db-root-dir', db,
+                  '--n-epochs', '4', '--scale-down-exponents', '5',
+                  '--criterion', 'MSE', '--teacher-path', 'teacher/t.npz'])
+
+    out_base = Path('models/resnet18/11/mimic/'
+                    'lr=1.0e-03,criterion=MSE,criterion_from=all,'
+                    'learn_from=teacher/online/5/synth-swan')
+    assert checkpoint.exists(str(out_base), '4')
+    # test() nests a sequence dir under save_dir like the reference
+    # (mimic.py:132 + experiment_helper.py:60) -> <seq>/<seq>
+    masks = list(Path('results/resnet18/11/mimic/'
+                      'lr=1.0e-03,criterion=MSE,criterion_from=all,'
+                      'learn_from=teacher/online/5/synth-swan/synth-swan')
+                 .glob('*.png'))
+    assert len(masks) == 4
