@@ -41,6 +41,11 @@ def parse_args(is_online: bool, argv=None) -> argparse.Namespace:
         parser.add_argument('--fanout', action='store_true',
                             help='adapt all sequences in parallel on the '
                              'device mesh instead of sequentially')
+        parser.add_argument('--skip-done', action='store_true',
+                            help='skip sequences whose final checkpoint '
+                             'already exists (crash-safe work queue; replaces '
+                             "the reference's hand-edited already_done list, "
+                             'train_online.py:179-182)')
     args = parser.parse_args(argv)
     args.is_training = not args.no_training
     args.is_testing = not args.no_testing

@@ -160,6 +160,19 @@ def main(argv=None):
     else:
         sequences = list(VAL_SEQUENCES)
 
+    if getattr(args, 'skip_done', False):
+        from fosvos_tpu.runtime import checkpoint as ckpt_mod
+        remaining = []
+        for seq in sequences:
+            stem = ckpt_mod.checkpoint_stem(
+                args.network, settings.n_epochs - 1, args.variant_offline,
+                args.variant_online, seq)
+            if ckpt_mod.exists(str(save_dir_models), stem):
+                log.info('skip-done: %s already adapted', seq)
+            else:
+                remaining.append(seq)
+        sequences = remaining
+
     if getattr(args, 'fanout', False) and len(sequences) > 1:
         run_fanout(net_provider, sequences, settings, db_root_dir,
                    save_dir_models, save_dir_results)

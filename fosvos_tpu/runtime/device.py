@@ -45,3 +45,15 @@ def select_device(device_id: Optional[int] = None,
 def default_device(device: jax.Device):
     """Context manager scoping computation to one device."""
     return jax.default_device(device)
+
+
+def enable_nan_debugging(enabled: bool = True) -> None:
+    """NaN checking for every jitted computation (SURVEY.md §5: the
+    framework's sanitizer knob — the reference has none)."""
+    jax.config.update('jax_debug_nans', enabled)
+
+
+def profiler_trace(log_dir: str):
+    """jax.profiler trace context (TensorBoard-viewable), the deep-profiling
+    companion to the wall-clock timers in runtime.timing."""
+    return jax.profiler.trace(log_dir)
