@@ -304,6 +304,42 @@ def deconv_output_size(in_size: int, stride: int, kernel: int) -> int:
     return (in_size - 1) * stride + kernel
 
 
+def stem_conv_s2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """7x7 stride-2 pad-3 conv via space-to-depth — numerically identical,
+    MXU-friendly.
+
+    A stride-2 conv on a 3-channel image contracts over only 3*49 values per
+    output and leaves the systolic array mostly idle (channels pad to the
+    128-lane tile). Rearranging 2x2 input pixels into channels turns it into
+    a stride-1 4x4 conv over 12 channels — the standard TPU ResNet-stem
+    rewrite. Exactness: tests/test_ops.py::test_stem_conv_s2d_matches_plain.
+
+    Args:
+      x: (N, H, W, C) input.
+      kernel: (7, 7, C, out) HWIO weights of the equivalent plain conv.
+    """
+    n, h, w, c = x.shape
+    kh, kw, _, out_ch = kernel.shape
+    assert kh == 7 and kw == 7, 'stem rewrite is specific to k=7, s=2, p=3'
+    xpad = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hp, wp = xpad.shape[1], xpad.shape[2]
+    xpad = jnp.pad(xpad, ((0, 0), (0, hp % 2), (0, wp % 2), (0, 0)))
+    hp, wp = xpad.shape[1], xpad.shape[2]
+    xs = (xpad.reshape(n, hp // 2, 2, wp // 2, 2, c)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(n, hp // 2, wp // 2, 4 * c))
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    kp = (k8.reshape(4, 2, 4, 2, c, out_ch)
+          .transpose(0, 2, 1, 3, 4, 5)
+          .reshape(4, 4, 4 * c, out_ch))
+    y = lax.conv_general_dilated(
+        xs, kp, (1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    oh = (h + 6 - 7) // 2 + 1
+    ow = (w + 6 - 7) // 2 + 1
+    return y[:, :oh, :ow]
+
+
 def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1,
            padding: int = 0) -> jax.Array:
     """Plain 2-D conv (cross-correlation), torch ``Conv2d`` semantics, NHWC.

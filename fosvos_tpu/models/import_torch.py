@@ -85,6 +85,29 @@ def vgg16_trunk_from_torchvision(sd: Mapping[str, Any],
     return params
 
 
+def vgg16_trunk_from_caffe(mat_path: str, params: Params) -> Params:
+    """Caffe HED-VGG trunk import (reference ``osvos_vgg.py:139-153``,
+    ``pretrained=2``): a ``vgg_hed_caffe.mat`` with 'weights'/'biases' cell
+    arrays, one per conv in trunk order; weights stored transposed (caffe
+    (out,in,kh,kw) saved so ``.transpose()`` yields torch layout; one more
+    transpose to our HWIO).
+    """
+    import scipy.io
+    caffe = scipy.io.loadmat(mat_path)
+    params = dict(params)
+    k = 0
+    for i, widths in enumerate(VGGArch().stages):
+        for j in range(len(widths)):
+            w = np.asarray(caffe['weights'][0][k]).transpose()
+            b = np.asarray(caffe['biases'][0][k])[:, 0]
+            params[f'stage{i}_conv{j}'] = {
+                'kernel': w.transpose(2, 3, 1, 0).astype(np.float32),
+                'bias': b.astype(np.float32),
+            }
+            k += 1
+    return params
+
+
 def resnet_trunk_from_torchvision(sd: Mapping[str, Any], arch: ResNetArch,
                                   params: Params,
                                   batch_stats: Params) -> Tuple[Params, Params]:

@@ -178,3 +178,36 @@ def test_reference_osvos_vgg_checkpoint_conversion():
     outs = model.apply({'params': params},
                        jnp.zeros((1, 33, 49, 3), jnp.float32))
     assert len(outs) == 5
+
+
+def test_vgg16_trunk_from_caffe(tmp_path):
+    """Synthetic vgg_hed_caffe.mat with the reference's cell layout."""
+    import scipy.io
+    rng = np.random.RandomState(7)
+    cfg = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    in_ch = 3
+    weights, biases = [], []
+    for out in cfg:
+        # stored such that .transpose() gives torch (out,in,kh,kw)
+        w_torch = _rand(rng, out, in_ch, 3, 3)
+        weights.append(w_torch.transpose())
+        biases.append(_rand(rng, out)[:, None])
+        in_ch = out
+    mat = tmp_path / 'vgg_hed_caffe.mat'
+    w_cell = np.empty((1, len(weights)), dtype=object)
+    b_cell = np.empty((1, len(biases)), dtype=object)
+    for k in range(len(weights)):
+        w_cell[0, k] = weights[k]
+        b_cell[0, k] = biases[k]
+    scipy.io.savemat(str(mat), {'weights': w_cell, 'biases': b_cell})
+
+    model = OSVOSVGG()
+    x = jnp.zeros((1, 33, 49, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = it.vgg16_trunk_from_caffe(str(mat), variables['params'])
+    outs = model.apply({'params': params}, x)
+    assert len(outs) == 5
+    # placement: our kernel[h,w,i,o] == torch[o,i,h,w]
+    w0_torch = weights[0].transpose()
+    assert params['stage0_conv0']['kernel'][1, 2, 0, 5] == \
+        np.float32(w0_torch[5, 0, 1, 2])

@@ -194,3 +194,15 @@ def test_conv2d_matches_torch(stride, padding):
         jnp.asarray(x), jnp.asarray(w_torch.transpose(2, 3, 1, 0)),
         stride=stride, padding=padding))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_stem_conv_s2d_matches_plain():
+    rng = np.random.RandomState(11)
+    for h, w in [(480, 854), (33, 49), (32, 48)]:
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32))
+        plain = ops.conv2d(x, k, stride=2, padding=3)
+        s2d = ops.stem_conv_s2d(x, k)
+        assert s2d.shape == plain.shape
+        np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain),
+                                   rtol=1e-4, atol=1e-4)
