@@ -35,17 +35,6 @@ from fosvos_tpu.models.common import (FuseParams, SideHead, TorchBatchNorm,
 Masks = Optional[Dict[str, jax.Array]]
 
 
-class StemConvParams(nn.Module):
-    """Holds the stem conv weights with nn.Conv's {kernel} tree; the op
-    itself runs through ops.stem_conv_s2d."""
-    out_ch: int
-    in_ch: int = 3
-
-    def setup(self):
-        self.kernel = self.param('kernel', conv_init,
-                                 (7, 7, self.in_ch, self.out_ch))
-
-
 def _mask(x: jax.Array, masks: Masks, key: str) -> jax.Array:
     if masks is not None and key in masks:
         return x * masks[key].astype(x.dtype)
@@ -139,11 +128,11 @@ class OSVOSResNet(nn.Module):
         out_h, out_w = x.shape[1], x.shape[2]
         block_cls = BasicBlock if arch.block == 'basic' else Bottleneck
 
-        # stem (osvos_resnet.py:90-96); the 7x7 s2 conv runs via the exact
-        # space-to-depth rewrite (ops.stem_conv_s2d) — same params tree as a
-        # plain nn.Conv, MXU-efficient on the 3-channel input
-        stem_kernel = StemConvParams(arch.base_out, name='base_conv').kernel
-        x = ops.stem_conv_s2d(x, stem_kernel.astype(x.dtype))
+        # stem (osvos_resnet.py:90-96). (A space-to-depth rewrite of this
+        # conv exists as ops.stem_conv_s2d; A/B on the target TPU showed the
+        # XLA lowering is already on par, so the plain conv stays.)
+        x = nn.Conv(arch.base_out, (7, 7), strides=2, padding=3,
+                    use_bias=False, kernel_init=conv_init, name='base_conv')(x)
         x = TorchBatchNorm(name='base_bn')(x, train)
         x = _mask(x, channel_masks, 'base')
         x = nn.relu(x)
