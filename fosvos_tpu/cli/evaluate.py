@@ -74,6 +74,10 @@ def main(argv=None):
     ev = evaluate_results(args.results_dir,
                           args.db_root_dir or Paths.db_root_dir(),
                           args.threshold)
+    if not ev.per_sequence:
+        log.error('no sequences evaluated: %s has no per-sequence mask '
+                  'directories matching the dataset', args.results_dir)
+        raise SystemExit(2)
     summary = ev.summary()
     for k, v in summary.items():
         log.info('%s: %.4f', k, v)

@@ -142,12 +142,14 @@ class SideHead(nn.Module):
     n_out: int
     up_kernel: int
     up_stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, out_h: int, out_w: int,
                  fuse_weights: jax.Array):
         side_prep = nn.Conv(self.prep_ch, (3, 3), padding=1,
-                            kernel_init=conv_init, name='side_prep')(x)
+                            kernel_init=conv_init, dtype=self.dtype,
+                            name='side_prep')(x)
 
         k = self.up_kernel
         deconv16 = Deconv(self.prep_ch, self.prep_ch, k, self.up_stride,
@@ -161,7 +163,8 @@ class SideHead(nn.Module):
             out_h, out_w)
 
         score = nn.Conv(self.n_out, (1, 1), padding=0,
-                        kernel_init=conv_init, name='score_dsn')(side_prep)
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='score_dsn')(side_prep)
         up_ = Deconv(self.n_out, self.n_out, k,
                      self.up_stride, name='upscale_score_dsn')(score)
         side_out = ops.center_crop(up_, out_h, out_w)

@@ -21,7 +21,7 @@ TPU-first deltas from the reference design:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,7 @@ class BasicBlock(nn.Module):
     widths: BlockWidths
     stride: int = 1
     in_ch: int = 0  # informational; flax infers from input
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, masks: Masks,
@@ -60,19 +61,20 @@ class BasicBlock(nn.Module):
         residual = x
 
         y = nn.Conv(mid, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, kernel_init=conv_init, name='conv1')(x)
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype, name='conv1')(x)
         y = TorchBatchNorm(name='bn1')(y, train)
         y = _mask(y, masks, f'{prefix}/conv1')
         y = nn.relu(y)
 
         y = nn.Conv(out, (3, 3), padding=1, use_bias=False,
-                    kernel_init=conv_init, name='conv2')(y)
+                    kernel_init=conv_init, dtype=self.dtype, name='conv2')(y)
         y = TorchBatchNorm(name='bn2')(y, train)
 
         if self.stride != 1 or x.shape[-1] != out or \
                 self.widths.force_downsample:
             residual = nn.Conv(out, (1, 1), strides=self.stride, padding=0,
                                use_bias=False, kernel_init=conv_init,
+                               dtype=self.dtype,
                                name='downsample_conv')(x)
             residual = TorchBatchNorm(name='downsample_bn')(residual, train)
 
@@ -84,6 +86,7 @@ class Bottleneck(nn.Module):
     """torchvision Bottleneck with explicit widths (1x1 -> 3x3 -> 1x1)."""
     widths: BlockWidths
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, masks: Masks,
@@ -92,25 +95,26 @@ class Bottleneck(nn.Module):
         residual = x
 
         y = nn.Conv(w1, (1, 1), padding=0, use_bias=False,
-                    kernel_init=conv_init, name='conv1')(x)
+                    kernel_init=conv_init, dtype=self.dtype, name='conv1')(x)
         y = TorchBatchNorm(name='bn1')(y, train)
         y = _mask(y, masks, f'{prefix}/conv1')
         y = nn.relu(y)
 
         y = nn.Conv(w2, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, kernel_init=conv_init, name='conv2')(y)
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype, name='conv2')(y)
         y = TorchBatchNorm(name='bn2')(y, train)
         y = _mask(y, masks, f'{prefix}/conv2')
         y = nn.relu(y)
 
         y = nn.Conv(out, (1, 1), padding=0, use_bias=False,
-                    kernel_init=conv_init, name='conv3')(y)
+                    kernel_init=conv_init, dtype=self.dtype, name='conv3')(y)
         y = TorchBatchNorm(name='bn3')(y, train)
 
         if self.stride != 1 or x.shape[-1] != out or \
                 self.widths.force_downsample:
             residual = nn.Conv(out, (1, 1), strides=self.stride, padding=0,
                                use_bias=False, kernel_init=conv_init,
+                               dtype=self.dtype,
                                name='downsample_conv')(x)
             residual = TorchBatchNorm(name='downsample_bn')(residual, train)
 
@@ -120,11 +124,16 @@ class Bottleneck(nn.Module):
 
 class OSVOSResNet(nn.Module):
     arch: ResNetArch
+    # computation dtype (params stay float32); jnp.bfloat16 halves HBM
+    # traffic for training/inference on TPU
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  channel_masks: Masks = None) -> List[jax.Array]:
         arch = self.arch
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         out_h, out_w = x.shape[1], x.shape[2]
         block_cls = BasicBlock if arch.block == 'basic' else Bottleneck
 
@@ -132,7 +141,8 @@ class OSVOSResNet(nn.Module):
         # conv exists as ops.stem_conv_s2d; A/B on the target TPU showed the
         # XLA lowering is already on par, so the plain conv stays.)
         x = nn.Conv(arch.base_out, (7, 7), strides=2, padding=3,
-                    use_bias=False, kernel_init=conv_init, name='base_conv')(x)
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype,
+                    name='base_conv')(x)
         x = TorchBatchNorm(name='base_bn')(x, train)
         x = _mask(x, channel_masks, 'base')
         x = nn.relu(x)
@@ -146,6 +156,7 @@ class OSVOSResNet(nn.Module):
             for j, widths in enumerate(stage):
                 stride = arch.stage_strides[i] if j == 0 else 1
                 x = block_cls(widths=widths, stride=stride,
+                              dtype=self.dtype,
                               name=f'stage{i}_block{j}')(
                     x, train, channel_masks, f'stage{i}_block{j}')
 
@@ -156,13 +167,17 @@ class OSVOSResNet(nn.Module):
                              n_out=arch.n_out,
                              up_kernel=2 ** (3 + i),
                              up_stride=2 ** (2 + i),
+                             dtype=self.dtype,
                              name=f'head{i}')(x, out_h, out_w, fw)
             contribs.append(c)
             side_out.append(so)
 
-        side_out.append(sum(contribs) + fuse.bias)
+        side_out.append(sum(contribs)
+                        + fuse.bias.astype(contribs[0].dtype))
         return side_out
 
 
-def make_resnet(version: int = 18, scale_down_exponent: int = 0) -> OSVOSResNet:
-    return OSVOSResNet(arch=resnet_arch(version, scale_down_exponent))
+def make_resnet(version: int = 18, scale_down_exponent: int = 0,
+                dtype=None) -> OSVOSResNet:
+    return OSVOSResNet(arch=resnet_arch(version, scale_down_exponent),
+                       dtype=dtype)

@@ -13,7 +13,7 @@ Layout is NHWC; outputs are ``(N, H, W, 1)``.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,17 +26,20 @@ from fosvos_tpu.models.common import FuseParams, SideHead, conv_init
 
 class OSVOSVGG(nn.Module):
     arch: VGGArch = VGGArch()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         del train  # VGG variant has no batch norm (osvos_vgg.py:85-95)
         out_h, out_w = x.shape[1], x.shape[2]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         stages = self.arch.stages
 
         # stage 0: no pool, no side head
         for j, width in enumerate(stages[0]):
             x = nn.Conv(width, (3, 3), padding=1, kernel_init=conv_init,
-                        name=f'stage0_conv{j}')(x)
+                        dtype=self.dtype, name=f'stage0_conv{j}')(x)
             x = nn.relu(x)
 
         prep_ch = self.arch.side_prep_ch
@@ -48,7 +51,7 @@ class OSVOSVGG(nn.Module):
             x = ops.max_pool_ceil(x, 2, 2)
             for j, width in enumerate(stages[i]):
                 x = nn.Conv(width, (3, 3), padding=1, kernel_init=conv_init,
-                            name=f'stage{i}_conv{j}')(x)
+                            dtype=self.dtype, name=f'stage{i}_conv{j}')(x)
                 x = nn.relu(x)
 
             fw = fuse.kernel[0, 0, (i - 1) * prep_ch:i * prep_ch]
@@ -57,9 +60,11 @@ class OSVOSVGG(nn.Module):
                              n_out=self.arch.n_out,
                              up_kernel=2 ** (1 + i),
                              up_stride=2 ** i,
+                             dtype=self.dtype,
                              name=f'head{i}')(x, out_h, out_w, fw)
             contribs.append(c)
             side_out.append(so)
 
-        side_out.append(sum(contribs) + fuse.bias)
+        side_out.append(sum(contribs)
+                        + fuse.bias.astype(contribs[0].dtype))
         return side_out

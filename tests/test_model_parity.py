@@ -262,3 +262,31 @@ def test_resnet_channel_masks_zero_outputs():
     outs = model.apply(variables, x, train=False, channel_masks=masks)
     # forward still works and produces valid shapes
     assert all(o.shape == (1, 33, 49, 1) for o in outs)
+
+
+def test_bf16_compute_close_to_fp32():
+    """Mixed precision: bf16 compute dtype, fp32 params; outputs must track
+    the fp32 model within bf16 tolerance and grads stay fp32."""
+    import jax.numpy as jnp
+    from fosvos_tpu.models import OSVOSResNet, resnet_arch
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 33, 49, 3).astype(np.float32) * 30)
+    arch = resnet_arch(18, scale_down_exponent=3)
+    m32 = OSVOSResNet(arch=arch)
+    m16 = OSVOSResNet(arch=arch, dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), x, train=False)
+    o32 = m32.apply(v, x, train=False)
+    o16 = m16.apply(v, x, train=False)
+    assert o16[-1].dtype == jnp.bfloat16
+    scale = float(jnp.abs(o32[-1]).max()) + 1e-9
+    assert float(jnp.abs(o16[-1].astype(jnp.float32) - o32[-1]).max()) \
+        / scale < 0.05
+
+    def loss(p):
+        outs, _ = m16.apply({'params': p, 'batch_stats': v['batch_stats']},
+                            x, train=True, mutable=['batch_stats'])
+        return jnp.sum(outs[-1].astype(jnp.float32) ** 2)
+    g = jax.grad(loss)(v['params'])
+    leaf = jax.tree.leaves(g)[0]
+    assert leaf.dtype == jnp.float32
+    assert bool(jnp.isfinite(leaf).all())
