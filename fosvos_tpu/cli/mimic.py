@@ -8,7 +8,6 @@ import argparse
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
 
 from fosvos_tpu.compress import mimic as mimic_lib
 from fosvos_tpu.config.paths import Paths

@@ -10,7 +10,6 @@ import argparse
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
 
 from fosvos_tpu.compress import prune as prune_lib
 from fosvos_tpu.config.paths import Paths

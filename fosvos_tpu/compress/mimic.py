@@ -20,12 +20,10 @@ the teacher's params are donated to device once.
 from __future__ import annotations
 
 import dataclasses
-import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from fosvos_tpu.core.ops import class_balanced_cross_entropy_loss

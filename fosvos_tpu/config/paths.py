@@ -7,7 +7,6 @@ No copy-a-template step; ``FOSVOS_DB_ROOT`` etc. configure a site.
 from __future__ import annotations
 
 import os
-from pathlib import Path as _P
 
 
 class Paths:

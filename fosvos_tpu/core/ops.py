@@ -16,8 +16,7 @@ center crop becomes a static slice, and ceil-mode pooling becomes a
 """
 from __future__ import annotations
 
-import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
-import numpy as np
 
 from fosvos_tpu.data.davis import DAVIS2016, Sample
 

@@ -20,7 +20,6 @@ per-frame host loop.
 from __future__ import annotations
 
 import dataclasses
-import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 

@@ -6,7 +6,7 @@ reference's torch->numpy ``tens2image`` transpose becomes a squeeze).
 from __future__ import annotations
 
 import random
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -12,9 +12,8 @@ fine-tune steps measurably improve IoU.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ DAVIS-2016 benchmark definitions (Perazzi et al., CVPR'16):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -5,9 +5,8 @@ from the YAMLs written by ``cli/evaluate.py`` and speed JSONs.
 """
 from __future__ import annotations
 
-import json
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict
 
 from fosvos_tpu.runtime.logging import get_logger
 

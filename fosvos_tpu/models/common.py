@@ -8,7 +8,7 @@ weights live in the param tree (so the optimizer's zero-lr group contract from
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

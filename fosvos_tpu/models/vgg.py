@@ -13,10 +13,9 @@ Layout is NHWC; outputs are ``(N, H, W, 1)``.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any, List
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from fosvos_tpu.core import ops

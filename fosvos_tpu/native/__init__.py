@@ -7,7 +7,6 @@ to the Python/cv2 path (``fosvos_tpu.data.loader``).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

@@ -28,7 +28,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fosvos_tpu.data import transforms
 from fosvos_tpu.train import optimizers
 from fosvos_tpu.train.losses import online_loss
-from fosvos_tpu.train.state import TrainState
 
 
 @dataclasses.dataclass

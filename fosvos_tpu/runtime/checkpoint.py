@@ -14,7 +14,6 @@ Works for any pytree of arrays; keys are '/'-joined paths.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 

@@ -13,7 +13,7 @@ hostname map and silently falls back to CPU. Here:
 from __future__ import annotations
 
 import socket
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 

@@ -8,15 +8,13 @@ state_dicts are transparently migrated via ``models.import_torch``.
 """
 from __future__ import annotations
 
-import dataclasses
-from pathlib import Path
-from typing import Any, Dict, Optional, Tuple, Type
+from typing import Dict, Optional, Tuple, Type
 
 import jax
 import jax.numpy as jnp
 
-from fosvos_tpu.config.settings import OfflineSettings, OnlineSettings, Settings
-from fosvos_tpu.models import (OSVOSResNet, OSVOSVGG, ResNetArch, VGGArch,
+from fosvos_tpu.config.settings import Settings
+from fosvos_tpu.models import (OSVOSResNet, OSVOSVGG, ResNetArch,
                                resnet_arch)
 from fosvos_tpu.models import import_torch
 from fosvos_tpu.runtime import checkpoint

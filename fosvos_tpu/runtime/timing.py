@@ -9,7 +9,7 @@ TPU executes programs in order so the elapsed time covers all N).
 from __future__ import annotations
 
 import time
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import numpy as np

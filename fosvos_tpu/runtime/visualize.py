@@ -9,7 +9,6 @@ next to a run.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

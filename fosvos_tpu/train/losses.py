@@ -4,7 +4,6 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from fosvos_tpu.core.ops import class_balanced_cross_entropy_loss
 

@@ -34,10 +34,9 @@ family with torch-default hyperparameters, documented as such.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 
