@@ -137,6 +137,28 @@ class DAVIS2016:
                 out.append(s.seq_name)
         return out
 
+    def make_raw_pair(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Load one (image, gt) pair as raw uint8 (BGR image, mask).
+
+        The TPU-native transfer format: mean subtraction and gt max-
+        normalization (davis_2016.py:127-132) run on device
+        (``train.offline.OfflineTrainer(device_preprocess=True)``), so the
+        host->device link carries 4x less than float32.
+        """
+        import cv2
+        s = self.samples[idx]
+        img = _imread_bgr(s.image_path)
+        label = _imread_gray(s.label_path) if s.label_path else None
+        if self.input_res is not None:
+            h, w = self.input_res
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+            if label is not None:
+                label = cv2.resize(label, (w, h),
+                                   interpolation=cv2.INTER_NEAREST)
+        if label is None:
+            label = np.zeros(img.shape[:2], np.uint8)
+        return img, label
+
     def make_img_gt_pair(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Load one (image, gt) pair, reference davis_2016.py:111-134."""
         import cv2

@@ -54,16 +54,19 @@ class InferenceEngine:
         self._forward_logits = forward_logits
 
     def masks_for_sequence(self, variables, images: np.ndarray) -> np.ndarray:
-        """uint8 (T,H,W) probability masks for a dense frame stack."""
+        """uint8 (T,H,W) probability masks for a dense frame stack.
+
+        All batches are dispatched before any result is read back, so
+        transfers and compute pipeline — on a high-latency link this turns
+        per-batch round trips into one."""
         t = images.shape[0]
         bs = self.batch_size
         pad = (-t) % bs
         if pad:
             images = np.concatenate([images, images[-1:].repeat(pad, 0)])
-        chunks = []
-        for i in range(0, images.shape[0], bs):
-            chunks.append(np.asarray(
-                self._forward_masks(variables, jnp.asarray(images[i:i + bs]))))
+        futures = [self._forward_masks(variables, jnp.asarray(images[i:i + bs]))
+                   for i in range(0, images.shape[0], bs)]
+        chunks = [np.asarray(f) for f in futures]
         return np.concatenate(chunks)[:t]
 
     def benchmark(self, variables, images: np.ndarray, n_runs: int = 10

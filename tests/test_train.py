@@ -129,3 +129,37 @@ def test_gradient_accumulation_steps_only_every_n(tiny_model):
     state, _ = trainer.train_step(state, img, gt, 0.0)
     assert not np.array_equal(np.asarray(state.params['layer_fuse']['kernel']),
                               np.asarray(p0))
+
+
+def test_device_preprocess_matches_host_preprocess(db, tiny_model):
+    """uint8 batches + device-side normalization must produce the same loss
+    as the host-preprocessed float32 path."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+
+    host = offline.OfflineTrainer(model, optimizers.offline_variant(11),
+                                  avg_grad_every_n=1)
+    dev = offline.OfflineTrainer(model, optimizers.offline_variant(11),
+                                 avg_grad_every_n=1, device_preprocess=True)
+    hs = host.init_state(variables)
+    dsost = dev.init_state(variables)
+
+    img_f, gt_f = ds.make_img_gt_pair(0)
+    img_u, gt_u = ds.make_raw_pair(0)
+    hs, hloss = host.train_step(hs, img_f[None], gt_f[None, ..., None], 0.0)
+    dsost, dloss = dev.train_step(dsost, img_u[None], gt_u[None, ..., None],
+                                  0.0)
+    np.testing.assert_allclose(np.asarray(dloss), np.asarray(hloss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dsost.params['layer_fuse']['kernel']),
+        np.asarray(hs.params['layer_fuse']['kernel']), rtol=1e-4, atol=1e-7)
+
+
+def test_iterate_raw_batches_uint8(db):
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    rng = np.random.RandomState(0)
+    batch = next(offline.iterate_raw_batches(ds, 2, rng, augment=True))
+    assert batch['image'].dtype == np.uint8
+    assert batch['gt'].dtype == np.uint8
+    assert batch['gt'].shape[-1] == 1
