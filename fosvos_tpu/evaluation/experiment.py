@@ -71,28 +71,33 @@ class InferenceEngine:
 
     def benchmark(self, variables, images: np.ndarray, n_runs: int = 10
                   ) -> 'SpeedReport':
-        """Reference timing methodology (experiment_helper.py:29-53):
-        n_runs passes over the frames, per-batch sync-bracketed timing,
-        first measurement discarded."""
+        """Reference timing methodology (experiment_helper.py:29-53) with a
+        pipelined in-order fence: n_runs passes over the frames, the first
+        pass (compilation/alloc) discarded, elapsed time fenced by a tiny
+        readback of the final result. (Per-call ``block_until_ready`` is not
+        reliable behind high-latency links — see runtime.timing.)"""
         bs = self.batch_size
-        t = images.shape[0] - images.shape[0] % bs
+        t = max(images.shape[0] - images.shape[0] % bs, bs)
         images = images[:t]
-        batches = [jnp.asarray(images[i:i + bs]) for i in range(0, t, bs)]
-        times = []
-        first = True
+        if images.shape[0] < bs:
+            images = np.concatenate([images] * bs)[:bs]
+        batches = [jnp.asarray(images[i:i + bs])
+                   for i in range(0, images.shape[0], bs)]
+        r = None
+        for b in batches:  # warmup pass, discarded like the reference
+            r = self._forward_masks(variables, b)
+        np.asarray(r[0, 0, :1])
+        t0 = time.perf_counter()
         for _ in range(n_runs):
             for b in batches:
-                t0 = time.perf_counter()
-                jax.block_until_ready(self._forward_masks(variables, b))
-                dt = time.perf_counter() - t0
-                if first:
-                    first = False  # first call includes compilation/alloc
-                else:
-                    times.append(dt / bs)
+                r = self._forward_masks(variables, b)
+        np.asarray(r[0, 0, :1])  # in-order fence
+        n_frames = n_runs * len(batches) * bs
+        elapsed = time.perf_counter() - t0
         return SpeedReport(
-            n_frames=len(times) * 1, batch_size=bs,
-            mean_s_per_frame=float(np.mean(times)),
-            fps=float(1.0 / np.mean(times)))
+            n_frames=n_frames, batch_size=bs,
+            mean_s_per_frame=elapsed / n_frames,
+            fps=float(n_frames / elapsed))
 
 
 @dataclasses.dataclass

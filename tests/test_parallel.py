@@ -128,3 +128,44 @@ def test_fanout_pads_sequences_to_mesh(db, tiny):
                           n_epochs=10, augment=False)
     assert res.losses.shape == (10, 3)
     assert res.params['layer_fuse']['kernel'].shape[0] == 3
+
+
+def test_fanout_cli_path(db, tiny, tmp_path, monkeypatch):
+    """The --fanout branch of the train_online CLI on the virtual mesh."""
+    monkeypatch.chdir(tmp_path)
+    from pathlib import Path
+    from fosvos_tpu.cli import train_online as cli_mod
+    from fosvos_tpu.runtime import checkpoint
+    from fosvos_tpu.runtime.providers import ResNetOnlineProvider
+
+    model, variables = tiny
+
+    orig = cli_mod.OnlineSettings
+
+    def small(**kw):
+        kw.update(n_epochs=8, snapshot_every_n=8)
+        return orig(**kw)
+
+    monkeypatch.setattr(cli_mod, 'OnlineSettings', small)
+    monkeypatch.setattr(cli_mod, 'VAL_SEQUENCES',
+                        ['synth-swan', 'synth-goat'])
+
+    seed = ResNetOnlineProvider('resnet18', 'models',
+                                small(variant_offline=11, variant_online=11),
+                                variant_offline=11, variant_online=11)
+    seed.model = model
+    seed.variables = jax.tree.map(jnp.asarray, variables)
+    Path('models').mkdir(exist_ok=True)
+    seed.save_model(240)
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--variant-online', '11', '--fanout',
+                  '--db-root-dir', db])
+
+    for seq in ('synth-swan', 'synth-goat'):
+        assert checkpoint.exists('models',
+                                 f'resnet18_11_11_{seq}_epoch-7')
+        masks = list(Path(f'results/resnet18/11/11/{seq}/{seq}')
+                     .glob('*.png')) or \
+            list(Path(f'results/resnet18/11/11/{seq}').glob('*.png'))
+        assert len(masks) == 4
