@@ -109,10 +109,40 @@ class TaylorRanker:
                                                      size_average=False)
 
         self._grad_fn = jax.jit(jax.grad(loss_of_masks))
+        self._loss_of_masks = loss_of_masks
+        self._scan_fn = None
 
     def rank(self, variables, masks: Masks, batches) -> Masks:
         """Signed Taylor scores accumulated over batches
-        (``filter_ranks[i] += values``, prune.py:173-177)."""
+        (``filter_ranks[i] += values``, prune.py:173-177).
+
+        Same-shaped batches are stacked and the accumulation runs as ONE
+        compiled ``lax.scan`` on device (a single dispatch per ranking pass
+        instead of one per batch)."""
+        batches = [(np.asarray(i), np.asarray(g)) for i, g in batches]
+        shapes = {(i.shape, g.shape) for i, g in batches}
+        if len(batches) > 1 and len(shapes) == 1:
+            imgs = jnp.asarray(np.stack([i for i, _ in batches]))
+            gts = jnp.asarray(np.stack([g for _, g in batches]))
+            if self._scan_fn is None:
+                loss_of_masks = self._loss_of_masks
+
+                @jax.jit
+                def rank_scan(masks, params, stats, imgs_k, gts_k):
+                    def body(acc, xy):
+                        img, gt = xy
+                        g = jax.grad(loss_of_masks)(masks, params, stats,
+                                                    img, gt)
+                        return jax.tree.map(jnp.add, acc, g), None
+
+                    acc0 = jax.tree.map(jnp.zeros_like, masks)
+                    acc, _ = jax.lax.scan(body, acc0, (imgs_k, gts_k))
+                    return acc
+
+                self._scan_fn = rank_scan
+            return self._scan_fn(masks, variables['params'],
+                                 variables['batch_stats'], imgs, gts)
+
         ranks = {k: jnp.zeros_like(m) for k, m in masks.items()}
         for images, gts in batches:
             g = self._grad_fn(masks, variables['params'],

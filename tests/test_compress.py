@@ -184,3 +184,24 @@ def test_mimic_from_ground_truth(tiny):
         lambda: iter(batches), n_epochs=10, criterion='CBCEL',
         learn_from='ground_truth')
     assert res.train_losses[-1] < res.train_losses[0]
+
+
+def test_rank_scan_matches_loop(tiny):
+    """The stacked lax.scan ranking path must equal per-batch grads."""
+    model, arch, variables = tiny
+    masks = prune.init_masks(arch)
+    b1 = _batch(seed=10)
+    b2 = _batch(seed=11)
+
+    ranker_loop = prune.TaylorRanker(model, is_offline=True)
+    # force the loop path with mismatched shape sentinel: call per batch
+    r_a = ranker_loop.rank(variables, masks, [b1])
+    r_b = ranker_loop.rank(variables, masks, [b2])
+    want = {k: np.asarray(r_a[k]) + np.asarray(r_b[k]) for k in r_a}
+
+    ranker_scan = prune.TaylorRanker(model, is_offline=True)
+    got = ranker_scan.rank(variables, masks, [b1, b2])
+    assert ranker_scan._scan_fn is not None  # scan path taken
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), want[k],
+                                   rtol=1e-4, atol=1e-6)
