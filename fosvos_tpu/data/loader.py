@@ -26,7 +26,8 @@ class NativePrefetcher:
 
     def __init__(self, dataset: DAVIS2016,
                  order: Optional[Sequence[int]] = None,
-                 n_threads: int = 4, capacity: int = 16):
+                 n_threads: int = 4, capacity: int = 16,
+                 raw: bool = False):
         from fosvos_tpu import native
         self._lib = native.load_library()
         if self._lib is None:
@@ -38,6 +39,7 @@ class NativePrefetcher:
         self.h, self.w = dataset.get_img_size()
         self.n_threads = n_threads
         self.capacity = capacity
+        self.raw = raw
         self._handle = None
 
     def __enter__(self):
@@ -48,9 +50,9 @@ class NativePrefetcher:
             img_paths[k] = s.image_path.encode()
             lab_paths[k] = (s.label_path.encode() if s.label_path else None)
         m = self.dataset.meanval
-        self._handle = self._lib.fl_create(
+        self._handle = self._lib.fl_create_mode(
             img_paths, lab_paths, len(self.order), self.n_threads,
-            self.capacity, m[0], m[1], m[2])
+            self.capacity, m[0], m[1], m[2], 1 if self.raw else 0)
         return self
 
     def __exit__(self, *exc):
@@ -59,15 +61,20 @@ class NativePrefetcher:
             self._handle = None
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
-        img = np.empty((self.h, self.w, 3), np.float32)
-        gt = np.empty((self.h, self.w), np.float32)
+        if self.raw:
+            img = np.empty((self.h, self.w, 3), np.uint8)
+            gt = np.empty((self.h, self.w), np.uint8)
+            nxt, ptr = self._lib.fl_next_raw, ctypes.c_uint8
+        else:
+            img = np.empty((self.h, self.w, 3), np.float32)
+            gt = np.empty((self.h, self.w), np.float32)
+            nxt, ptr = self._lib.fl_next, ctypes.c_float
         n_delivered = 0
         while n_delivered < len(self.order):
-            rc = self._lib.fl_next(
-                self._handle,
-                img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                self.h, self.w)
+            rc = nxt(self._handle,
+                     img.ctypes.data_as(ctypes.POINTER(ptr)),
+                     gt.ctypes.data_as(ctypes.POINTER(ptr)),
+                     self.h, self.w)
             if rc == -1:
                 break
             n_delivered += 1
@@ -80,17 +87,22 @@ class NativePrefetcher:
 def iterate_samples(dataset: DAVIS2016,
                     order: Optional[Sequence[int]] = None,
                     n_threads: int = 4,
-                    use_native: bool = True
+                    use_native: bool = True,
+                    raw: bool = False
                     ) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
-    """Best-effort native prefetch with transparent cv2 fallback."""
+    """Best-effort native prefetch with transparent cv2 fallback.
+
+    ``raw=True`` yields uint8 (BGR frame, mask) pairs — the device-side
+    normalization transfer format."""
     order = list(order if order is not None else range(len(dataset)))
     if use_native:
         try:
-            with NativePrefetcher(dataset, order, n_threads) as pf:
+            with NativePrefetcher(dataset, order, n_threads, raw=raw) as pf:
                 yield from pf
             return
         except (RuntimeError, OSError) as e:
             log.warning('falling back to python decode: %s', e)
     for i in order:
-        img, gt = dataset.make_img_gt_pair(i)
+        img, gt = (dataset.make_raw_pair(i) if raw
+                   else dataset.make_img_gt_pair(i))
         yield i, img, gt

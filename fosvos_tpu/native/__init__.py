@@ -50,11 +50,18 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    lib.fl_create_mode.restype = ctypes.c_void_p
+    lib.fl_create_mode.argtypes = lib.fl_create.argtypes + [ctypes.c_int]
     lib.fl_next.restype = ctypes.c_int
     lib.fl_next.argtypes = [ctypes.c_void_p,
                             ctypes.POINTER(ctypes.c_float),
                             ctypes.POINTER(ctypes.c_float),
                             ctypes.c_int, ctypes.c_int]
+    lib.fl_next_raw.restype = ctypes.c_int
+    lib.fl_next_raw.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.c_int, ctypes.c_int]
     lib.fl_destroy.argtypes = [ctypes.c_void_p]
     lib.fl_probe_size.restype = ctypes.c_int
     lib.fl_probe_size.argtypes = [ctypes.c_char_p,

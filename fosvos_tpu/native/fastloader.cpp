@@ -136,8 +136,10 @@ bool decode_png_gray(const char* path, std::vector<uint8_t>& out, int& h,
 struct Sample {
   int index = -1;            // position in the requested order
   bool ok = false;
-  std::vector<float> img;    // H*W*3, mean-subtracted
-  std::vector<float> gt;     // H*W, [0,1]
+  std::vector<float> img;    // H*W*3, mean-subtracted (normalized mode)
+  std::vector<float> gt;     // H*W, [0,1] (normalized mode)
+  std::vector<uint8_t> img_u8;  // raw mode: H*W*3 BGR
+  std::vector<uint8_t> gt_u8;   // raw mode: H*W mask
   int h = 0, w = 0;
 };
 
@@ -145,6 +147,7 @@ struct Loader {
   std::vector<std::string> img_paths;
   std::vector<std::string> lab_paths;  // empty string => no annotation
   float mean[3];
+  bool raw = false;  // emit uint8 (device-side normalization) vs float32
   int n_threads;
   size_t capacity;
 
@@ -167,24 +170,33 @@ struct Loader {
       if (decode_jpeg_bgr(img_paths[i].c_str(), img_u8, h, w)) {
         s.h = h;
         s.w = w;
-        s.img.resize(static_cast<size_t>(h) * w * 3);
-        for (size_t p = 0; p < s.img.size(); p += 3) {
-          s.img[p + 0] = static_cast<float>(img_u8[p + 0]) - mean[0];
-          s.img[p + 1] = static_cast<float>(img_u8[p + 1]) - mean[1];
-          s.img[p + 2] = static_cast<float>(img_u8[p + 2]) - mean[2];
-        }
-        s.gt.assign(static_cast<size_t>(h) * w, 0.0f);
         s.ok = true;
+        if (raw) {
+          s.img_u8 = img_u8;
+          s.gt_u8.assign(static_cast<size_t>(h) * w, 0);
+        } else {
+          s.img.resize(static_cast<size_t>(h) * w * 3);
+          for (size_t p = 0; p < s.img.size(); p += 3) {
+            s.img[p + 0] = static_cast<float>(img_u8[p + 0]) - mean[0];
+            s.img[p + 1] = static_cast<float>(img_u8[p + 1]) - mean[1];
+            s.img[p + 2] = static_cast<float>(img_u8[p + 2]) - mean[2];
+          }
+          s.gt.assign(static_cast<size_t>(h) * w, 0.0f);
+        }
         if (!lab_paths[i].empty()) {
           int lh = 0, lw = 0;
           if (decode_png_gray(lab_paths[i].c_str(), lab_u8, lh, lw) &&
               lh == h && lw == w) {
-            uint8_t mx = 0;
-            for (size_t p = 0; p < lab_u8.size(); ++p)
-              if (lab_u8[p] > mx) mx = lab_u8[p];
-            const float div = mx > 0 ? static_cast<float>(mx) : 1e-8f;
-            for (size_t p = 0; p < lab_u8.size(); ++p)
-              s.gt[p] = static_cast<float>(lab_u8[p]) / div;
+            if (raw) {
+              s.gt_u8 = lab_u8;
+            } else {
+              uint8_t mx = 0;
+              for (size_t p = 0; p < lab_u8.size(); ++p)
+                if (lab_u8[p] > mx) mx = lab_u8[p];
+              const float div = mx > 0 ? static_cast<float>(mx) : 1e-8f;
+              for (size_t p = 0; p < lab_u8.size(); ++p)
+                s.gt[p] = static_cast<float>(lab_u8[p]) / div;
+            }
           } else {
             s.ok = false;
           }
@@ -208,9 +220,11 @@ struct Loader {
 
 extern "C" {
 
-void* fl_create(const char** img_paths, const char** lab_paths, int n,
-                int n_threads, int capacity, float m0, float m1, float m2) {
+void* fl_create_mode(const char** img_paths, const char** lab_paths, int n,
+                     int n_threads, int capacity, float m0, float m1,
+                     float m2, int raw) {
   Loader* L = new Loader();
+  L->raw = raw != 0;
   L->img_paths.reserve(n);
   L->lab_paths.reserve(n);
   for (int i = 0; i < n; ++i) {
@@ -225,6 +239,33 @@ void* fl_create(const char** img_paths, const char** lab_paths, int n,
   for (int t = 0; t < L->n_threads; ++t)
     L->workers.emplace_back(&Loader::worker, L);
   return L;
+}
+
+void* fl_create(const char** img_paths, const char** lab_paths, int n,
+                int n_threads, int capacity, float m0, float m1, float m2) {
+  return fl_create_mode(img_paths, lab_paths, n, n_threads, capacity, m0, m1,
+                        m2, /*raw=*/0);
+}
+
+// Raw-mode pop: uint8 BGR frame + uint8 mask (device-side normalization).
+int fl_next_raw(void* handle, uint8_t* img_out, uint8_t* gt_out,
+                int expected_h, int expected_w) {
+  Loader* L = static_cast<Loader*>(handle);
+  Sample s;
+  {
+    std::unique_lock<std::mutex> lock(L->mu);
+    L->cv_pop.wait(lock, [&] {
+      return !L->ready.empty() || L->n_done.load() == L->n_threads;
+    });
+    if (L->ready.empty()) return -1;
+    s = std::move(L->ready.front());
+    L->ready.pop();
+  }
+  L->cv_push.notify_one();
+  if (!s.ok || s.h != expected_h || s.w != expected_w) return -2;
+  memcpy(img_out, s.img_u8.data(), s.img_u8.size());
+  memcpy(gt_out, s.gt_u8.data(), s.gt_u8.size());
+  return s.index;
 }
 
 // Pop one decoded sample (any order). Returns the sample's index, or -1 when

@@ -117,22 +117,28 @@ def iterate_raw_batches(dataset: DAVIS2016, batch_size: int,
                         scales: Sequence[float] = transforms.TRAIN_SCALES
                         ) -> Iterator[Dict[str, np.ndarray]]:
     """uint8 batches (BGR frame, mask) for device-side preprocessing
-    (pair with ``OfflineTrainer(device_preprocess=True)``). Augmentation
-    (flip + scale) operates on uint8 directly."""
-    order = rng.permutation(len(dataset))
-    for start in range(0, len(order) - batch_size + 1, batch_size):
-        idxs = order[start:start + batch_size]
-        scale = scales[rng.randint(len(scales))] if augment else 1.0
-        imgs, gts = [], []
-        for i in idxs:
-            img, gt = dataset.make_raw_pair(int(i))
-            s = {'image': img, 'gt': gt}
-            if augment:
-                s = transforms.random_horizontal_flip(s, rng)
-                s = transforms.resize(s, scale)
-            imgs.append(s['image'])
-            gts.append(s['gt'][..., None])
-        yield {'image': np.stack(imgs), 'gt': np.stack(gts)}
+    (pair with ``OfflineTrainer(device_preprocess=True)``). Decode runs on
+    the native C++ prefetch threads in raw mode; augmentation (flip + scale)
+    operates on uint8 directly."""
+    from fosvos_tpu.data import loader as data_loader
+    order = list(rng.permutation(len(dataset)))
+    pending_imgs, pending_gts = [], []
+    for _, img, gt in data_loader.iterate_samples(dataset, order, raw=True):
+        s = {'image': img, 'gt': gt}
+        if augment:
+            s = transforms.random_horizontal_flip(s, rng)
+        pending_imgs.append(s['image'])
+        pending_gts.append(s['gt'])
+        if len(pending_imgs) == batch_size:
+            scale = scales[rng.randint(len(scales))] if augment else 1.0
+            imgs, gts = [], []
+            for im, g in zip(pending_imgs, pending_gts):
+                b = transforms.resize({'image': im, 'gt': g}, scale) \
+                    if augment else {'image': im, 'gt': g}
+                imgs.append(b['image'])
+                gts.append(b['gt'][..., None])
+            yield {'image': np.stack(imgs), 'gt': np.stack(gts)}
+            pending_imgs, pending_gts = [], []
 
 
 def iterate_batches(dataset: DAVIS2016, batch_size: int,

@@ -52,3 +52,18 @@ def test_shuffled_order(db):
     order = list(np.random.RandomState(0).permutation(len(ds)))
     seen = [i for i, _, _ in loader.iterate_samples(ds, order=order)]
     assert sorted(seen) == sorted(order)
+
+
+def test_native_raw_mode_matches_files(db):
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    got = {}
+    with loader.NativePrefetcher(ds, n_threads=2, raw=True) as pf:
+        for idx, img, gt in pf:
+            got[idx] = (img, gt)
+    assert len(got) == len(ds)
+    for i in range(len(ds)):
+        img_ref, gt_ref = ds.make_raw_pair(i)
+        img, gt = got[i]
+        assert img.dtype == np.uint8 and gt.dtype == np.uint8
+        assert np.abs(img.astype(int) - img_ref.astype(int)).max() <= 1
+        np.testing.assert_array_equal(gt, gt_ref)
