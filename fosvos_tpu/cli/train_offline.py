@@ -46,6 +46,16 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                                       'batch_stats': state.batch_stats}
             net_provider.save_model(epoch)
 
+        test_db = (DAVIS2016(mode='test', db_root_dir=str(db_root_dir))
+                   if settings.is_testing_while_training else None)
+
+        def log_test(stats: offline.EpochStats):
+            # reference scalar name, train_offline.py:133
+            writer.add_scalar('data/test_loss_epoch',
+                              float(stats.mean_losses[-1]), stats.epoch)
+            log.info('***Testing*** [Epoch: %d] fuse loss %f', stats.epoch,
+                     stats.mean_losses[-1])
+
         if getattr(settings, 'data_parallel', False):
             state = _train_data_parallel(net_provider, db_train, settings,
                                          log_epoch, snapshot)
@@ -59,7 +69,10 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                 avg_grad_every_n=settings.avg_grad_every_n,
                 snapshot_every_n=settings.snapshot_every_n,
                 snapshot_fn=snapshot,
-                log_fn=log_epoch)
+                log_fn=log_epoch,
+                test_dataset=test_db,
+                test_every_n=settings.test_every_n,
+                test_log_fn=log_test)
         net_provider.variables = {'params': state.params,
                                   'batch_stats': state.batch_stats}
         net_provider.save_model(settings.n_epochs - 1)

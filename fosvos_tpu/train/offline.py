@@ -192,7 +192,10 @@ def train_offline(model, variables, dataset: DAVIS2016,
                   snapshot_every_n: int = 40,
                   snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
                   log_fn: Optional[Callable[[EpochStats], None]] = None,
-                  device_preprocess: bool = True
+                  device_preprocess: bool = True,
+                  test_dataset: Optional[DAVIS2016] = None,
+                  test_every_n: int = 5,
+                  test_log_fn: Optional[Callable[[EpochStats], None]] = None
                   ) -> TrainState:
     """Full offline training loop (reference defaults: 240 epochs, batch 1,
     step every 10, snapshot every 40 — ``train_offline.py:153-157``).
@@ -224,5 +227,21 @@ def train_offline(model, variables, dataset: DAVIS2016,
         if snapshot_fn is not None and epoch % snapshot_every_n == \
                 snapshot_every_n - 1 and epoch != 0:
             snapshot_fn(epoch, state)
+
+        # test-while-training loss pass (reference train_offline.py:115-136)
+        if test_dataset is not None and \
+                epoch % test_every_n == test_every_n - 1:
+            t1 = time.perf_counter()
+            tsums, tn = np.zeros(5), 0
+            for i in range(len(test_dataset)):
+                img, gt = test_dataset.make_img_gt_pair(i)
+                losses = trainer.eval_step(state, img[None],
+                                           gt[None, ..., None])
+                tsums += np.asarray(losses)
+                tn += 1
+            tstats = EpochStats(epoch=epoch, mean_losses=tsums / max(tn, 1),
+                                wall_time_s=time.perf_counter() - t1)
+            if test_log_fn is not None:
+                test_log_fn(tstats)
 
     return state

@@ -163,3 +163,21 @@ def test_iterate_raw_batches_uint8(db):
     assert batch['image'].dtype == np.uint8
     assert batch['gt'].dtype == np.uint8
     assert batch['gt'].shape[-1] == 1
+
+
+def test_offline_test_while_training(db, tiny_model):
+    """Optional test-while-training pass (reference train_offline.py:115-136)
+    evaluates the val split every test_every_n epochs."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    val = davis.DAVIS2016(mode='test', db_root_dir=db)
+
+    test_logs = []
+    offline.train_offline(
+        model, variables, ds,
+        preset=optimizers.offline_variant(11),
+        n_epochs=4, batch_size=2, avg_grad_every_n=2,
+        augment=False, seed=0, snapshot_every_n=100,
+        test_dataset=val, test_every_n=2, test_log_fn=test_logs.append)
+    assert [s.epoch for s in test_logs] == [1, 3]
+    assert all(np.isfinite(s.mean_losses).all() for s in test_logs)
