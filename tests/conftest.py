@@ -17,3 +17,9 @@ if 'xla_force_host_platform_device_count' not in _flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: CPU compiles dominate suite runtime on this
+# single-core machine; repeat runs hit the cache.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
