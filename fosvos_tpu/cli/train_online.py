@@ -29,7 +29,9 @@ log = get_logger(__file__)
 
 def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
                    seq_name: str, settings: OnlineSettings, db_root_dir,
-                   save_dir_models, save_dir_results) -> None:
+                   save_dir_models, save_dir_results,
+                   engine: Optional[experiment.InferenceEngine] = None
+                   ) -> None:
     write_settings(save_dir_models, net_provider.name, settings,
                    variant_offline=settings.variant_offline,
                    variant_online=settings.variant_online)
@@ -80,7 +82,8 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
         out = experiment.test(net_provider.model, net_provider.variables, db,
                               str(save_dir), seq_name=seq_name,
                               eval_speeds=settings.eval_speeds,
-                              batch_size=settings.batch_size_test)
+                              batch_size=settings.batch_size_test,
+                              engine=engine)
         log.info('Test %s: %d images in %.2fs', seq_name, out['n_images'],
                  out['total_time_s'])
 
@@ -109,6 +112,8 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
     log.info('Fanout: adapted %d sequences in %.2fs on %d devices',
              len(sequences), res.wall_time_s, mesh.size)
 
+    engine = experiment.InferenceEngine(net_provider.model,
+                                        settings.batch_size_test)
     for k, seq in enumerate(sequences):
         net_provider.variables = jax.tree.map(
             lambda a: a[k], {'params': res.params,
@@ -122,7 +127,8 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
                         / str(settings.variant_online))
             experiment.test(net_provider.model, net_provider.variables, db,
                             str(save_dir), seq_name=seq,
-                            batch_size=settings.batch_size_test)
+                            batch_size=settings.batch_size_test,
+                            engine=engine)
 
 
 def main(argv=None):
@@ -178,16 +184,23 @@ def main(argv=None):
                    save_dir_models, save_dir_results)
         return
 
-    # one finetuner reused across sequences: compile once
+    # one finetuner + one inference engine reused across sequences: the
+    # compiled train scans and the 480p forward are built once per sweep
     tuner = None
+    engine = None
     for seq in sequences:
         if tuner is None and settings.is_training:
             net_provider.load_network_train()
             tuner = online.OnlineFinetuner(net_provider.model,
                                            net_provider.get_preset(),
                                            settings.avg_grad_every_n)
+        if engine is None:
+            if net_provider.model is None:
+                net_provider.load_network_train()
+            engine = experiment.InferenceEngine(net_provider.model,
+                                                settings.batch_size_test)
         train_and_test(net_provider, tuner, seq, settings, db_root_dir,
-                       save_dir_models, save_dir_results)
+                       save_dir_models, save_dir_results, engine=engine)
 
 
 if __name__ == '__main__':
