@@ -205,3 +205,36 @@ def test_rank_scan_matches_loop(tiny):
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), want[k],
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_bottleneck_materialize_preserves_function():
+    """Pruning masks + materialization on the Bottleneck (resnet50) family."""
+    arch = resnet_arch(50, scale_down_exponent=4)
+    model = OSVOSResNet(arch=arch)
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    rng = np.random.RandomState(2)
+    masks = prune.init_masks(arch)
+    sites = prune.mask_sites(arch)
+    # 3 conv sites per bottleneck block + base
+    assert len(sites) == 1 + sum(len(st) for st in arch.stages) * 3
+    plan = []
+    for site, width in sites.items():
+        if width > prune.N_MIN_CHANNELS:
+            plan.append((site, int(rng.randint(width))))
+    masks = prune.apply_plan(masks, plan)
+
+    images = rng.randn(1, 32, 48, 3).astype(np.float32) * 30
+    outs_masked = model.apply(variables, jnp.asarray(images), train=False,
+                              channel_masks=masks)
+    small_arch, small_vars = prune.materialize(arch, variables, masks)
+    small = OSVOSResNet(arch=small_arch)
+    outs_small = small.apply(
+        {'params': jax.tree.map(jnp.asarray, small_vars['params']),
+         'batch_stats': jax.tree.map(jnp.asarray,
+                                     small_vars['batch_stats'])},
+        jnp.asarray(images), train=False)
+    for a, b in zip(outs_masked, outs_small):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

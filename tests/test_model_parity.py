@@ -290,3 +290,63 @@ def test_bf16_compute_close_to_fp32():
     leaf = jax.tree.leaves(g)[0]
     assert leaf.dtype == jnp.float32
     assert bool(jnp.isfinite(leaf).all())
+
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, in_ch, w1, w2, out, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_ch, w1, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(w1)
+        self.conv2 = tnn.Conv2d(w1, w2, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(w2)
+        self.conv3 = tnn.Conv2d(w2, out, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(out)
+        self.downsample = None
+        if stride != 1 or in_ch != out:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(in_ch, out, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(out))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + r)
+
+    def load(self, bp, bs):
+        for c in (1, 2, 3):
+            to_torch_conv(getattr(self, f'conv{c}'), bp[f'conv{c}'])
+            to_torch_bn(getattr(self, f'bn{c}'), bp[f'bn{c}'], bs[f'bn{c}'])
+        if self.downsample is not None:
+            to_torch_conv(self.downsample[0], bp['downsample_conv'])
+            to_torch_bn(self.downsample[1], bp['downsample_bn'],
+                        bs['downsample_bn'])
+
+
+def test_bottleneck_block_parity():
+    """Bottleneck (ResNet-50 family) block vs torch, eval mode."""
+    from fosvos_tpu.models.arch import BlockWidths
+    from fosvos_tpu.models.resnet import Bottleneck
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 17, 23, 32).astype(np.float32) * 5
+
+    blk = Bottleneck(widths=BlockWidths(convs=(8, 8, 32)), stride=2)
+    variables = blk.init(jax.random.PRNGKey(3), jnp.asarray(x), False, None,
+                         'b')
+    stats = jax.tree.map(
+        lambda a: jnp.asarray(np.abs(rng.randn(*a.shape)) + 0.5, a.dtype),
+        variables['batch_stats'])
+    variables = {'params': variables['params'], 'batch_stats': stats}
+    got = blk.apply(variables, jnp.asarray(x), False, None, 'b')
+
+    tb = TorchBottleneck(32, 8, 8, 32, stride=2)
+    tb.load(variables['params'], variables['batch_stats'])
+    tb.eval()
+    with torch.no_grad():
+        want = tb(torch.as_tensor(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(got),
+                               want.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-3, atol=1e-5)
