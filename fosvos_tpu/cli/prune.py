@@ -102,7 +102,6 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
 
     models_dir = Path('models') / path_stem
     results_dir = Path('results') / path_stem
-    engine_cache = {}
 
     def on_checkpoint(ckpt: prune_lib.PruneCheckpoint) -> None:
         sub = seq_name or 'offline'
