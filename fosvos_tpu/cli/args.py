@@ -27,6 +27,11 @@ def get_base_parser() -> argparse.ArgumentParser:
     parser.add_argument('--data-parallel', action='store_true',
                         help='shard the batch over all devices of the mesh '
                              '(offline training)')
+    parser.add_argument('--n-epochs', default=None, type=int,
+                        help='override the reference training budget '
+                             '(offline 240 / online 10000)')
+    parser.add_argument('--start-epoch', default=None, type=int,
+                        help='resume from this epoch checkpoint')
     return parser
 
 

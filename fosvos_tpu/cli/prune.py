@@ -95,10 +95,19 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
     db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
                    seq_name=seq_name)
 
+    # ranking/fine-tune data: random flips like the reference's augmented
+    # train loader (prune.py:226-251 uses io_helper.get_data_loader_train);
+    # multi-scale is omitted so the ranking pass stays a single compiled scan
+    import numpy as np
+    from fosvos_tpu.data import transforms as _tf
+    aug_rng = np.random.RandomState(0)
+
     def batches_fn():
-        for i in range(len(db)):
-            img, gt = db.make_img_gt_pair(i)
-            yield img[None], gt[None, ..., None]
+        for i in np.random.RandomState(aug_rng.randint(2**31)) \
+                .permutation(len(db)):
+            img, gt = db.make_img_gt_pair(int(i))
+            s = _tf.random_horizontal_flip({'image': img, 'gt': gt}, aug_rng)
+            yield s['image'][None], s['gt'][None, ..., None]
 
     models_dir = Path('models') / path_stem
     results_dir = Path('results') / path_stem

@@ -141,7 +141,9 @@ def main(argv=None):
     # reference defaults, train_offline.py:153-157
     settings = OfflineSettings(
         is_training=args.is_training, is_testing=args.is_testing,
-        start_epoch=0, n_epochs=240, avg_grad_every_n=10, snapshot_every_n=40,
+        start_epoch=args.start_epoch or 0,
+        n_epochs=args.n_epochs or 240,
+        avg_grad_every_n=10, snapshot_every_n=40,
         is_testing_while_training=False, test_every_n=5, batch_size_train=1,
         batch_size_test=1, is_visualizing_network=False,
         is_visualizing_results=False, is_loading_vgg_caffe=False,

@@ -141,10 +141,12 @@ def main(argv=None):
     save_dir_results.mkdir(parents=True, exist_ok=True)
 
     # reference defaults, train_online.py:147-152
+    n_epochs = args.n_epochs or 10000
     settings = OnlineSettings(
         is_training=args.is_training, is_testing=args.is_testing,
-        start_epoch=0, n_epochs=10000, avg_grad_every_n=5,
-        snapshot_every_n=10000, is_testing_while_training=False,
+        start_epoch=args.start_epoch or 0, n_epochs=n_epochs,
+        avg_grad_every_n=5,
+        snapshot_every_n=n_epochs, is_testing_while_training=False,
         test_every_n=5, batch_size_train=1, batch_size_test=1,
         is_visualizing_network=False, is_visualizing_results=False,
         offline_epoch=240, variant_offline=args.variant_offline,
