@@ -95,18 +95,21 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
     from fosvos_tpu.parallel import fanout, make_mesh
 
     net_provider.load_network_train()
+    # raw uint8 transfer format; normalization runs on device in the fanout
     imgs, gts = [], []
+    mean = None
     for seq in sequences:
         db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
                        seq_name=seq)
-        img, gt = db.make_img_gt_pair(0)
+        img, gt = db.make_raw_pair(0)
         imgs.append(img)
         gts.append(gt)
+        mean = db.meanval
 
     mesh = make_mesh(('seq',))
     fo = fanout.SequenceFanout(net_provider.model, mesh,
                                net_provider.get_preset(),
-                               settings.avg_grad_every_n)
+                               settings.avg_grad_every_n, mean=mean)
     res = fo.finetune_all(net_provider.variables, np.stack(imgs),
                           np.stack(gts), n_epochs=settings.n_epochs)
     log.info('Fanout: adapted %d sequences in %.2fs on %d devices',

@@ -191,21 +191,29 @@ class DAVIS2016:
     def get_img_size(self) -> List[int]:
         return list(_imread_bgr(self.samples[0].image_path).shape[:2])
 
-    def load_sequence(self, seq_name: Optional[str] = None
+    def load_sequence(self, seq_name: Optional[str] = None, raw: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
         """Materialize a whole sequence as dense arrays.
 
-        Returns ``(images (T,H,W,3) float32 mean-subtracted, gts (T,H,W)
-        float32, frame names)``. This is the TPU-native unit of work: one
-        device_put, then jitted batched inference over T.
+        Returns ``(images (T,H,W,3), gts (T,H,W), frame names)``. With
+        ``raw=False``: float32, mean-subtracted images and max-normalized
+        gts (the reference contract, davis_2016.py:127-132). With
+        ``raw=True``: uint8 BGR images and uint8 masks — the TPU-native
+        transfer format (4x fewer bytes over the host->device link; mean
+        subtraction / normalization then run on device, see
+        ``evaluation.experiment.InferenceEngine``).
+
+        This is the TPU-native unit of work: one device_put, then jitted
+        batched inference over T.
         """
         idxs = [i for i, s in enumerate(self.samples)
                 if seq_name is None or s.seq_name == seq_name]
         if not idxs:
             raise ValueError(f'unknown sequence {seq_name!r}')
+        loader = self.make_raw_pair if raw else self.make_img_gt_pair
         imgs, gts, names = [], [], []
         for i in idxs:
-            img, gt = self.make_img_gt_pair(i)
+            img, gt = loader(i)
             imgs.append(img)
             gts.append(gt)
             names.append(self.samples[i].fname)

@@ -113,25 +113,36 @@ def device_flip(images, gts, flip):
     return images, gts
 
 
-def scale_buckets(n_steps: int, rng: np.random.RandomState,
-                  scales: Sequence[float] = TRAIN_SCALES):
-    """Pre-sample per-step flips and group steps into per-scale buckets.
+def scale_schedule(n_steps: int, rng: np.random.RandomState,
+                   scales: Sequence[float] = TRAIN_SCALES,
+                   chunk_steps: int = 50):
+    """Chunk an adaptation budget into interleaved per-scale scan segments.
 
     XLA needs static shapes, so instead of the reference's per-step random
-    shape (custom_transforms.py:72-92 inside a Python loop), we assign each
-    scale a **deterministic share** of the n_steps (uniform split, remainder
-    to the first scales) and draw only the flips randomly. Scale counts over
-    10k uniform draws concentrate to n/k anyway; fixing them exactly makes
-    every bucket's scan length a function of n_steps alone, so the compiled
-    scans are reused across sequences and seeds (one compile per scale for a
-    whole 20-sequence sweep).
+    shape (custom_transforms.py:72-92 inside a Python loop), steps are cut
+    into fixed-length chunks, chunks are assigned to scales round-robin
+    (each scale gets an equal share, like the expected count of n/k uniform
+    draws), and the chunk order is shuffled. Each scale's compiled scan is
+    reused for all of its chunks, so a 10k-step adaptation still costs one
+    compile per scale — but scales *interleave* at chunk granularity rather
+    than running lowest-to-highest, matching the reference's uniform
+    per-step scale draw with no curriculum (measured on-chip: the sequential
+    curriculum converged to a 30x worse one-shot loss). chunk_steps=50 means
+    scales mix every 50 steps; keep it a multiple of avg_grad_every_n so
+    accumulation windows never straddle a shape change.
 
-    Returns list of (scale, flips-array) with sum(len(flips)) == n_steps.
+    Flip augmentation is NOT pre-sampled here: flips are drawn on device
+    inside the compiled scans (jax PRNG threaded through the scan carry), so
+    a chunk dispatch moves zero bytes over the host->device link — behind a
+    high-latency tunnel, per-chunk host transfers would dominate wall-clock.
+
+    Returns a list of (scale, n_chunk_steps) with sum(n) == n_steps.
     """
     k = len(scales)
-    out = []
-    for i, scale in enumerate(scales):
-        n = n_steps // k + (1 if i < n_steps % k else 0)
-        if n:
-            out.append((scale, (rng.rand(n) < 0.5).astype(np.int32)))
+    # small budgets still see every scale: shrink chunks so >= k chunks exist
+    chunk_steps = max(1, min(chunk_steps, n_steps // k))
+    n_chunks, rem = divmod(n_steps, chunk_steps)
+    sizes = [chunk_steps] * n_chunks + ([rem] if rem else [])
+    out = [(scales[i % k], n) for i, n in enumerate(sizes)]
+    rng.shuffle(out)
     return out

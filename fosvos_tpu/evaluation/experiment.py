@@ -9,6 +9,11 @@ TPU-native deltas:
 * frames of a sequence are processed as **batches** from a dense (T,H,W,C)
   array — one device_put per sequence, one compiled forward per batch shape,
   sigmoid+quantization fused on device, single D2H of uint8 masks;
+* ingest is **uint8**: raw BGR frames cross the host->device link (4x fewer
+  bytes than float32 — the link is the bottleneck behind this tunnel) and
+  mean subtraction (davis_2016.py:127-128) runs on device, fused into the
+  forward (Pallas kernel on TPU, plain XLA elsewhere) — bit-identical to
+  host-side preprocessing since uint8->f32 is exact;
 * the speed harness uses ``jax.block_until_ready`` with the same
   10-runs/skip-first methodology (``experiment_helper.py:42-53``), so numbers
   are comparable with the reference's measurement protocol.
@@ -24,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fosvos_tpu.data.davis import DAVIS2016
+from fosvos_tpu.data.davis import DAVIS2016, DAVIS_MEAN_BGR
 
 
 def write_mask_png(path: str, mask_u8: np.ndarray) -> None:
@@ -32,15 +37,37 @@ def write_mask_png(path: str, mask_u8: np.ndarray) -> None:
     cv2.imwrite(str(path), mask_u8)
 
 
-class InferenceEngine:
-    """Compiled batched forward producing uint8 probability masks."""
+def device_preprocess(images: jax.Array,
+                      mean=DAVIS_MEAN_BGR) -> jax.Array:
+    """uint8 BGR frames -> float32 minus channel mean, on device.
 
-    def __init__(self, model, batch_size: int = 4):
+    float32 input is passed through unchanged (already preprocessed on host).
+    uint8->f32 casting is exact, so the two ingest paths produce bit-identical
+    activations. On TPU the fused Pallas kernel does it in one VMEM pass.
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    if jax.default_backend() == 'tpu':
+        from fosvos_tpu.core.kernels import preprocess_frames_pallas
+        return preprocess_frames_pallas(images, tuple(mean))
+    return images.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
+
+
+class InferenceEngine:
+    """Compiled batched forward producing uint8 probability masks.
+
+    Accepts raw uint8 BGR frames (preferred: 4x less H2D traffic, mean
+    subtraction fused on device) or host-preprocessed float32.
+    """
+
+    def __init__(self, model, batch_size: int = 4, mean=DAVIS_MEAN_BGR):
         self.model = model
         self.batch_size = batch_size
+        self.mean = tuple(mean)
 
         @jax.jit
         def forward_masks(variables, images):
+            images = device_preprocess(images, self.mean)
             outs = model.apply(variables, images, train=False)
             prob = jax.nn.sigmoid(outs[-1][..., 0])
             # reference saves the sigmoid map as PNG (experiment_helper.py:57,64)
@@ -48,6 +75,7 @@ class InferenceEngine:
 
         @jax.jit
         def forward_logits(variables, images):
+            images = device_preprocess(images, self.mean)
             return model.apply(variables, images, train=False)[-1]
 
         self._forward_masks = forward_masks
@@ -117,13 +145,17 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
     Output layout identical to the reference: ``<save_dir>/<seq>/<fname>.png``
     (experiment_helper.py:60-64).
     """
-    engine = engine or InferenceEngine(model, batch_size)
+    engine = engine or InferenceEngine(model, batch_size,
+                                       mean=dataset.meanval)
     results: Dict[str, object] = {}
     seqs = [seq_name] if seq_name else dataset.sequence_names
+    # uint8 ingest only when the engine's on-device mean matches the dataset
+    # (a shared engine may have been built for a different mean)
+    raw = tuple(engine.mean) == tuple(dataset.meanval)
     t_all = time.perf_counter()
     n_images = 0
     for seq in seqs:
-        images, _, names = dataset.load_sequence(seq)
+        images, _, names = dataset.load_sequence(seq, raw=raw)
         n_images += len(names)
         if eval_speeds:
             results[seq] = engine.benchmark(variables, images)

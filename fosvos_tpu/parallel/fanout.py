@@ -16,6 +16,7 @@ design.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -26,6 +27,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fosvos_tpu.data import transforms
+from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
 from fosvos_tpu.train import optimizers
 from fosvos_tpu.train.losses import online_loss
 
@@ -41,15 +43,32 @@ class FanoutResult:
 class SequenceFanout:
     def __init__(self, model, mesh: Mesh,
                  preset: Optional[optimizers.Preset] = None,
-                 avg_grad_every_n: int = 5):
+                 avg_grad_every_n: int = 5, mean=DAVIS_MEAN_BGR):
         if 'seq' not in mesh.axis_names:
             raise ValueError("fanout mesh needs a 'seq' axis")
         self.model = model
         self.mesh = mesh
         self.preset = preset or optimizers.online_variant(11)
         self.avg_grad_every_n = avg_grad_every_n
+        self.mean = tuple(mean)
         self._optimizer = None
-        self._run_bucket = None
+        self._run_chunk = None
+
+        @jax.jit
+        def _device_normalize(imgs_u8, gts_u8):
+            """uint8 transfer format -> training float32, on device.
+
+            Mean subtraction (davis_2016.py:127-128) and per-sequence gt
+            max-normalization (davis_2016.py:131-132) run after the 4x
+            smaller uint8 transfer; elementwise, so sharding is preserved.
+            """
+            imgs = imgs_u8.astype(jnp.float32) - jnp.asarray(
+                self.mean, jnp.float32)
+            g = gts_u8.astype(jnp.float32)
+            gmax = jnp.maximum(g.max(axis=(1, 2), keepdims=True), 1e-8)
+            return imgs, g / gmax
+
+        self._device_normalize = _device_normalize
 
     @property
     def seq_sharding(self) -> NamedSharding:
@@ -61,8 +80,10 @@ class SequenceFanout:
                                      every_k_schedule=self.avg_grad_every_n)
         model = self.model
 
-        def one_seq_step(carry, flip, image, gt):
-            p, batch_stats, opt_state = carry
+        def one_seq_step(carry, image, gt):
+            p, batch_stats, opt_state, key = carry
+            key, k_flip = jax.random.split(key)
+            flip = jax.random.bernoulli(k_flip).astype(jnp.int32)
             imgs, g = transforms.device_flip(image[None], gt[None, ..., None],
                                              flip)
 
@@ -76,32 +97,37 @@ class SequenceFanout:
                 loss_fn, has_aux=True)(p)
             updates, opt_state = optimizer.update(grads, opt_state, p)
             p = optax.apply_updates(p, updates)
-            return (p, new_stats, opt_state), loss
+            return (p, new_stats, opt_state, key), loss
 
-        # One sequence's full bucket: scan over its steps.
-        def per_seq(carry1, flips1, image, gt):
+        # One sequence's chunk: scan over its steps; flips are drawn from
+        # the per-sequence key inside the scan (zero host bytes per chunk).
+        def per_seq(carry1, image, gt, n_steps):
             return jax.lax.scan(
-                lambda c, f: one_seq_step(c, f, image, gt), carry1, flips1)
+                lambda c, _: one_seq_step(c, image, gt), carry1, None,
+                length=n_steps)
 
         # shard_map over the 'seq' mesh axis; inside each shard, lax.map
         # walks the local sequences sequentially (with one sequence per chip
         # this is a single iteration). No collectives in the hot loop —
         # the fan-out is communication-free by construction.
-        def run_local(carry, flips, images, gts):
+        def run_local(carry, images, gts, n_steps):
             # all leading axes are the *local* sequence count
             return jax.lax.map(
-                lambda args: per_seq(*args), (carry, flips, images, gts))
+                lambda args: per_seq(*args, n_steps), (carry, images, gts))
 
         seq_spec = P('seq')
-        sharded = jax.shard_map(
-            run_local,
-            mesh=self.mesh,
-            in_specs=(seq_spec, seq_spec, seq_spec, seq_spec),
-            out_specs=(seq_spec, seq_spec),
-        )
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_chunk(carry, images, gts, n_steps):
+            return jax.shard_map(
+                functools.partial(run_local, n_steps=n_steps),
+                mesh=self.mesh,
+                in_specs=(seq_spec, seq_spec, seq_spec),
+                out_specs=(seq_spec, seq_spec),
+            )(carry, images, gts)
 
         self._optimizer = optimizer
-        self._run_bucket = jax.jit(sharded, donate_argnums=(0,))
+        self._run_chunk = run_chunk
 
     def finetune_all(self, variables, images: np.ndarray, gts: np.ndarray,
                      n_epochs: int = 10000,
@@ -111,10 +137,13 @@ class SequenceFanout:
 
         Args:
           variables: single (unstacked) model variables — broadcast to S copies.
-          images: (S, H, W, 3) first annotated frames, mean-subtracted.
-          gts: (S, H, W) masks in [0, 1].
+          images: (S, H, W, 3) first annotated frames — raw uint8 BGR
+            (preferred: 4x less H2D traffic, mean subtraction on device) or
+            float32 already mean-subtracted.
+          gts: (S, H, W) masks — uint8 (normalized on device) or float32
+            in [0, 1].
         """
-        if self._run_bucket is None:
+        if self._run_chunk is None:
             self._build(variables['params'])
 
         S = images.shape[0]
@@ -127,22 +156,28 @@ class SequenceFanout:
 
         rng = np.random.RandomState(seed)
         if augment:
-            buckets = transforms.scale_buckets(n_epochs, rng, scales)
+            schedule = transforms.scale_schedule(n_epochs, rng, scales)
         else:
-            buckets = [(1.0, np.zeros(n_epochs, np.int32))]
+            schedule = [(1.0, n_epochs)]
 
-        # host-resize each sequence's frame per scale
+        # host-resize each sequence's frame per scale; raw uint8 stacks are
+        # transferred as-is and normalized on device (4x less H2D traffic;
+        # scale<1 resizing on uint8 quantizes to integer intensities, a
+        # <=0.5-LSB deviation from the reference's float resize — the full-
+        # resolution scale is exact)
+        raw = images.dtype == np.uint8
         scale_pairs: Dict[float, Tuple[jax.Array, jax.Array]] = {}
-        for s in sorted({sc for sc, _ in buckets}):
+        for s in sorted({sc for sc, _ in schedule}):
             ims, gs = [], []
             for k in range(S_pad):
                 samp = transforms.resize(
                     {'image': images[k], 'gt': gts[k]}, s)
                 ims.append(samp['image'])
                 gs.append(samp['gt'])
-            scale_pairs[s] = (
+            pair = (
                 jax.device_put(jnp.asarray(np.stack(ims)), self.seq_sharding),
                 jax.device_put(jnp.asarray(np.stack(gs)), self.seq_sharding))
+            scale_pairs[s] = self._device_normalize(*pair) if raw else pair
 
         stacked = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (S_pad,) + a.shape).copy(),
@@ -152,20 +187,22 @@ class SequenceFanout:
         stats_s = jax.device_put(stacked['batch_stats'], self.seq_sharding)
         opt_state = jax.device_put(
             jax.vmap(self._optimizer.init)(params_s), self.seq_sharding)
-        carry = (params_s, stats_s, opt_state)
+        # independent flip streams per sequence, resident on device
+        keys_s = jax.device_put(
+            jax.random.split(jax.random.PRNGKey(seed), S_pad),
+            self.seq_sharding)
+        carry = (params_s, stats_s, opt_state, keys_s)
 
         t0 = time.perf_counter()
         all_losses: List[np.ndarray] = []
-        for scale, flips in buckets:
-            # independent flip draws per sequence, (S, n_steps) seq-leading
-            f = (rng.rand(S_pad, len(flips)) < 0.5).astype(np.int32)
+        for scale, n in schedule:
             ims, gs = scale_pairs[scale]
-            carry, losses = self._run_bucket(carry, jnp.asarray(f), ims, gs)
+            carry, losses = self._run_chunk(carry, ims, gs, n)
             all_losses.append(np.asarray(losses).T)   # -> (n_steps, S)
         jax.block_until_ready(carry)
         wall = time.perf_counter() - t0
 
-        params_s, stats_s, _ = carry
+        params_s, stats_s, _, _ = carry
         unpad = lambda t: jax.tree.map(lambda a: a[:S], t)
         return FanoutResult(params=unpad(params_s),
                             batch_stats=unpad(stats_s),

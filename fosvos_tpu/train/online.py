@@ -6,11 +6,15 @@ single annotated first frame: per epoch a host->GPU copy, forward, backward,
 and an optimizer step every 5. Here the frame lives in HBM for the whole
 adaptation and the entire 10,000-step loop is a handful of ``lax.scan`` calls:
 
-* augmentation draws (flip p=0.5 + scale from {0.5, 0.8, 1}, the reference's
-  train pipeline ``io_helper.py:62-70``) are pre-sampled on host and grouped
-  into one scan per scale (XLA needs static shapes; the draws are i.i.d. so
-  grouping only reorders steps — see ``transforms.scale_buckets``)
-* the flip is applied on-device inside the scan (``transforms.device_flip``)
+* augmentation (flip p=0.5 + scale from {0.5, 0.8, 1}, the reference's
+  train pipeline ``io_helper.py:62-70``): the step budget is chunked into
+  fixed-length per-scale scan segments, shuffled so scales interleave every
+  ~50 steps like the reference's uniform per-step draw (XLA needs static
+  shapes; each scale's scan compiles once — see
+  ``transforms.scale_schedule``)
+* the flip is drawn (jax PRNG in the scan carry) and applied
+  (``transforms.device_flip``) on device, so a chunk dispatch moves zero
+  bytes over the host link
 * gradient accumulation (step every ``avg_grad_every_n=5``,
   ``train_online.py:92-101``) is ``optax.MultiSteps``, whose averaged-gradient
   window is numerically the reference's summed ``loss/5`` backwards
@@ -63,7 +67,7 @@ class OnlineFinetuner:
         self.avg_grad_every_n = avg_grad_every_n
         self._example_params = example_params
         self._optimizer = None
-        self._run_bucket = None
+        self._run_chunk = None
 
     def _build(self, params):
         base_opt = optimizers.make_optimizer(self.preset, params)
@@ -71,8 +75,10 @@ class OnlineFinetuner:
                                      every_k_schedule=self.avg_grad_every_n)
         model = self.model
 
-        def step(carry, flip, images, gts):
-            p, batch_stats, opt_state = carry
+        def step(carry, images, gts):
+            p, batch_stats, opt_state, key = carry
+            key, k_flip = jax.random.split(key)
+            flip = jax.random.bernoulli(k_flip).astype(jnp.int32)
             imgs, g = transforms.device_flip(images, gts, flip)
 
             def loss_fn(pp):
@@ -85,15 +91,16 @@ class OnlineFinetuner:
                 loss_fn, has_aux=True)(p)
             updates, opt_state = optimizer.update(grads, opt_state, p)
             p = optax.apply_updates(p, updates)
-            return (p, new_stats, opt_state), loss
+            return (p, new_stats, opt_state, key), loss
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_bucket(carry, flips, images, gts):
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_chunk(carry, images, gts, n_steps):
             return jax.lax.scan(
-                lambda c, f: step(c, f, images, gts), carry, flips)
+                lambda c, _: step(c, images, gts), carry, None,
+                length=n_steps)
 
         self._optimizer = optimizer
-        self._run_bucket = run_bucket
+        self._run_chunk = run_chunk
 
     @property
     def optimizer(self):
@@ -103,40 +110,47 @@ class OnlineFinetuner:
                  n_epochs: int = 10000,
                  scales: Sequence[float] = transforms.TRAIN_SCALES,
                  augment: bool = True,
-                 seed: int = 0) -> OnlineResult:
+                 seed: int = 0,
+                 schedule: Optional[Sequence] = None) -> OnlineResult:
         """One-shot adaptation of ``variables`` to a single annotated frame.
 
         Args:
           image: (H, W, 3) float32, already mean-subtracted.
           gt:    (H, W) float32 in [0, 1].
+          schedule: optional explicit list of (scale, n_steps) chunks
+            overriding the default interleaved ``transforms.scale_schedule``
+            (A/B experiments).
         """
-        if self._run_bucket is None:
+        if self._run_chunk is None:
             self._build(variables['params'])
 
         rng = np.random.RandomState(seed)
-        if augment:
-            buckets = transforms.scale_buckets(n_epochs, rng, scales)
+        if schedule is not None:
+            schedule = list(schedule)
+            n_epochs = sum(n for _, n in schedule)
+        elif augment:
+            schedule = transforms.scale_schedule(n_epochs, rng, scales)
         else:
-            buckets = [(1.0, np.zeros(n_epochs, np.int32))]
-        pairs = _scaled_pairs(image, gt, sorted({s for s, _ in buckets}))
+            schedule = [(1.0, n_epochs)]
+        pairs = _scaled_pairs(image, gt, sorted({s for s, _ in schedule}))
 
-        # run_bucket donates its carry for in-place updates on TPU; copy the
+        # run_chunk donates its carry for in-place updates on TPU; copy the
         # caller's variables so they survive repeated finetune() calls.
         state = create_state(jax.tree.map(jnp.copy, variables),
                              self._optimizer)
-        carry = (state.params, state.batch_stats, state.opt_state)
+        carry = (state.params, state.batch_stats, state.opt_state,
+                 jax.random.PRNGKey(seed))
 
         t0 = time.perf_counter()
         all_losses: List[np.ndarray] = []
-        for scale, flips in buckets:
+        for scale, n in schedule:
             images, gts = pairs[scale]
-            carry, losses = self._run_bucket(carry, jnp.asarray(flips),
-                                             images, gts)
+            carry, losses = self._run_chunk(carry, images, gts, n)
             all_losses.append(losses)
         jax.block_until_ready(carry)
         wall = time.perf_counter() - t0
 
-        params, batch_stats, opt_state = carry
+        params, batch_stats, opt_state, _ = carry
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state,
                            step=jnp.asarray(n_epochs, jnp.int32))

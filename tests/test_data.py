@@ -89,11 +89,39 @@ def test_resize_scales(scale):
     assert set(np.unique(s['gt'])).issubset({0.0, 1.0})
 
 
-def test_scale_buckets_cover_all_steps():
+def test_scale_schedule_cover_all_steps():
     rng = np.random.RandomState(0)
-    buckets = transforms.scale_buckets(1000, rng)
-    assert sum(len(f) for _, f in buckets) == 1000
-    assert {s for s, _ in buckets} == set(transforms.TRAIN_SCALES)
+    schedule = transforms.scale_schedule(1000, rng)
+    assert sum(n for _, n in schedule) == 1000
+    assert {s for s, _ in schedule} == set(transforms.TRAIN_SCALES)
+
+
+def test_scale_schedule_interleaves_scales():
+    """Scales must interleave at chunk granularity (no scale curriculum —
+    the reference draws the scale uniformly per step), each scale gets an
+    equal chunk share, and only one scan length exists per scale (one
+    compile per scale)."""
+    rng = np.random.RandomState(0)
+    n_steps, chunk = 10000, 50
+    schedule = transforms.scale_schedule(n_steps, rng, chunk_steps=chunk)
+    assert sum(n for _, n in schedule) == n_steps
+    assert all(n == chunk for _, n in schedule)
+    order = [s for s, _ in schedule]
+    # equal shares: 200 chunks over 3 scales
+    counts = {s: order.count(s) for s in transforms.TRAIN_SCALES}
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # interleaved: scales switch many times, not 3 contiguous runs
+    switches = sum(a != b for a, b in zip(order, order[1:]))
+    assert switches > 50
+    # accumulation windows never straddle a shape change (chunk % 5 == 0)
+    assert all(n % 5 == 0 for _, n in schedule)
+
+
+def test_scale_schedule_small_budget_sees_every_scale():
+    rng = np.random.RandomState(0)
+    schedule = transforms.scale_schedule(6, rng)
+    assert sum(n for _, n in schedule) == 6
+    assert {s for s, _ in schedule} == set(transforms.TRAIN_SCALES)
 
 
 def test_device_flip():

@@ -101,3 +101,30 @@ def test_masks_batch_padding(db):
     images, _, _ = ds.load_sequence()
     masks = engine.masks_for_sequence(variables, images)
     assert masks.shape[0] == 4
+
+
+def test_uint8_ingest_bit_identical_masks(db):
+    """uint8 raw ingest with on-device mean-subtract must produce the same
+    mask bytes as host-preprocessed float32 ingest (uint8->f32 is exact)."""
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    engine = experiment.InferenceEngine(model, batch_size=2)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs_f, _, _ = ds.load_sequence(raw=False)
+    imgs_u, _, _ = ds.load_sequence(raw=True)
+    assert imgs_u.dtype == np.uint8 and imgs_f.dtype == np.float32
+    m_f = engine.masks_for_sequence(variables, imgs_f)
+    m_u = engine.masks_for_sequence(variables, imgs_u)
+    np.testing.assert_array_equal(m_u, m_f)
+
+
+def test_experiment_test_uses_raw_ingest(db, tmp_path):
+    """experiment.test end-to-end with the default (uint8) ingest."""
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-goat')
+    out = experiment.test(model, variables, ds, str(tmp_path / 'r'),
+                          seq_name='synth-goat', batch_size=2)
+    assert len(list((tmp_path / 'r' / 'synth-goat').glob('*.png'))) == 4

@@ -169,3 +169,30 @@ def test_fanout_cli_path(db, tiny, tmp_path, monkeypatch):
                      .glob('*.png')) or \
             list(Path(f'results/resnet18/11/11/{seq}').glob('*.png'))
         assert len(masks) == 4
+
+
+def test_fanout_uint8_ingest_matches_float(db, tiny):
+    """Raw uint8 ingest (device-side normalize) must reproduce the float
+    path exactly at full resolution: uint8->f32 is exact and the synthetic
+    masks are binary, so both ingests see bit-identical training inputs."""
+    model, variables = tiny
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    imgs_f, gts_f, imgs_u, gts_u = [], [], [], []
+    for i in range(2):
+        im, g = ds.make_img_gt_pair(i)
+        imgs_f.append(im)
+        gts_f.append(g)
+        im_u, g_u = ds.make_raw_pair(i)
+        imgs_u.append(im_u)
+        gts_u.append(g_u)
+
+    m = make_mesh(('seq',))
+    fo = fanout.SequenceFanout(model, m, optimizers.online_variant(11))
+    res_f = fo.finetune_all(variables, np.stack(imgs_f), np.stack(gts_f),
+                            n_epochs=5, augment=False, seed=0)
+    res_u = fo.finetune_all(variables, np.stack(imgs_u), np.stack(gts_u),
+                            n_epochs=5, augment=False, seed=0)
+    np.testing.assert_array_equal(res_u.losses, res_f.losses)
+    np.testing.assert_array_equal(
+        np.asarray(res_u.params['layer_fuse']['kernel']),
+        np.asarray(res_f.params['layer_fuse']['kernel']))
