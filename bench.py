@@ -1,12 +1,20 @@
-"""Headline benchmark: OSVOS-ResNet18 forward throughput on DAVIS-2016 480p.
+"""Model-zoo benchmark: DAVIS-2016 480p inference throughput on the TPU chip.
 
-Baseline (BASELINE.md): the reference measures 0.01067 s/frame (~93.7 fps) for
-the ResNet18 path with cuda.synchronize-bracketed timing, 10 runs, first
-measurement discarded (experiment_helper.py:29-53). This harness reproduces
-that methodology with jax.block_until_ready on the real TPU chip, measuring
-per-frame *throughput* (batched inference — the serving configuration).
+Reproduces the reference's measured speed table (the only published numbers,
+``src/eval/visualizations.ipynb`` cell 3: vgg16 0.08083 s/frame, resnet18
+0.01067, resnet34 0.01386 — cuda.synchronize-bracketed, 10 runs, first
+discarded, ``experiment_helper.py:29-53``) across the whole zoo:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* vgg16 / resnet18 / resnet34 — batch-64 bf16 (serving throughput) and, for
+  the two headline families, batch-1 fp32 (the reference's latency setup, so
+  the vs_baseline comparison is like-for-like);
+* a 50%-channel-pruned resnet18 (topology produced by the real
+  ``compress.prune.materialize`` path, reference ``prune.py:297-481``);
+* the mimic student at scale_down_exponent=3 (width/8, ``mimic.py:243-244``).
+
+Prints ONE JSON line per config:
+``{"metric", "value", "unit", "vs_baseline"}``; the headline metric
+(resnet18 480p b64 throughput) is printed LAST.
 """
 import json
 import sys
@@ -14,29 +22,78 @@ import time
 
 import numpy as np
 
+# reference measurements (visualizations.ipynb cell 3), fps = 1/s_per_frame
+BASELINE_FPS = {
+    'vgg16': 1.0 / 0.08083,      # ~12.4
+    'resnet18': 1.0 / 0.01067,   # ~93.7
+    'resnet34': 1.0 / 0.01386,   # ~72.2
+}
 
-BASELINE_RESNET18_FPS = 1.0 / 0.01067   # ≈ 93.7 fps
+
+def _bf16(variables):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
 
 
-def main():
+def _build_resnet(version=18, scale_down_exponent=0):
     import jax
     import jax.numpy as jnp
     from fosvos_tpu.models import make_resnet
-
-    model = make_resnet(18)
-    h, w = 480, 854
-    rng = np.random.RandomState(0)
-
+    model = make_resnet(version, scale_down_exponent=scale_down_exponent)
     # init at a tiny spatial size — conv params are H/W-independent and the
     # 480p init program would cost minutes of needless compile time
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 96, 3), jnp.float32),
                            train=False)
-    # Serving config: bf16 params/activations (the TPU-native inference
-    # precision; fp32 is available for strict mask parity and is ~40% slower).
-    variables = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables)
+    return model, variables
+
+
+def _build_vgg():
+    import jax
+    import jax.numpy as jnp
+    from fosvos_tpu.models import OSVOSVGG
+    model = OSVOSVGG()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 96, 3), jnp.float32),
+                           train=False)
+    return model, variables
+
+
+def _build_pruned50():
+    """resnet18 with 50% of the channels of every prunable conv removed,
+    materialized through the real pruning path (exact topology a 50% prune
+    run produces, including downsample fixups)."""
+    from fosvos_tpu.compress import prune
+    from fosvos_tpu.models import OSVOSResNet, resnet_arch
+
+    arch = resnet_arch(18)
+    model, variables = _build_resnet(18)
+    masks = prune.init_masks(arch)
+    for site, m in masks.items():
+        m = np.asarray(m).copy()
+        m[::2] = 0.0  # drop every other channel (keeps >= 4, prune.py:30)
+        masks[site] = m
+    new_arch, new_vars = prune.materialize(arch, variables, masks)
+    return OSVOSResNet(arch=new_arch), new_vars
+
+
+def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
+    """fps via the pipelined in-order fence (runtime.timing semantics: TPU
+    programs execute in order; enqueue n_runs forwards, fence once with a
+    tiny readback — per-call block_until_ready would measure the tunnel).
+    Matches the reference's 10-runs/skip-first protocol
+    (experiment_helper.py:29-53); best-of-3 rounds against tunnel noise."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = 480, 854
+    rng = np.random.RandomState(0)
+    jdt = jnp.bfloat16 if dtype == 'bf16' else jnp.float32
+    if dtype == 'bf16':
+        variables = _bf16(variables)
 
     @jax.jit
     def forward_masks(variables, images):
@@ -44,21 +101,10 @@ def main():
         prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
         return jnp.round(prob * 255.0).astype(jnp.uint8)
 
-    # Throughput batch size: DAVIS sequences are 50-100 frames, so batch 32
-    # is a realistic serving batch. The TPU here is behind a high-latency
-    # tunnel where per-call host sync would measure the network, not the
-    # chip; we therefore enqueue n_runs back-to-back executions and fence
-    # once via a tiny readback of the last result — TPU programs execute
-    # in order, so the elapsed time covers all n_runs device executions
-    # (same spirit as the reference's 10-runs/skip-first protocol,
-    # experiment_helper.py:29-53).
-    bs = 64
-    n_runs = 20
-    frames = jnp.asarray(rng.randn(bs, h, w, 3).astype(np.float32) * 40.0,
-                         jnp.bfloat16)
+    frames = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32) * 40.0,
+                         jdt)
     np.asarray(forward_masks(variables, frames))  # compile + warm (skipped)
 
-    # the tunnel to the chip is noisy; take the best of 3 measurement rounds
     best_dt = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
@@ -67,17 +113,42 @@ def main():
             r = forward_masks(variables, frames)
         np.asarray(r[0, 0, :8])  # in-order fence
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_runs)
-    dt = best_dt
+    return batch / best_dt
 
-    fps = bs / dt
-    print(f'# batch={bs}: {dt / bs * 1e3:.3f} ms/frame ({fps:.1f} fps)',
-          file=sys.stderr)
-    print(json.dumps({
-        'metric': f'resnet18_480p_throughput_fps_b{bs}',
-        'value': round(fps, 2),
-        'unit': 'frames/s/chip',
-        'vs_baseline': round(fps / BASELINE_RESNET18_FPS, 2),
-    }))
+
+def main():
+    # (metric name, builder, batch, dtype, baseline key, n_runs)
+    configs = [
+        ('vgg16_480p_latency_fps_b1_fp32', _build_vgg, 1, 'fp32',
+         'vgg16', 10),
+        ('vgg16_480p_throughput_fps_b64', _build_vgg, 64, 'bf16',
+         'vgg16', 5),
+        ('resnet34_480p_throughput_fps_b64', lambda: _build_resnet(34),
+         64, 'bf16', 'resnet34', 10),
+        ('resnet18_pruned50_480p_throughput_fps_b64', _build_pruned50,
+         64, 'bf16', 'resnet18', 10),
+        ('resnet18_mimic_sde3_480p_throughput_fps_b64',
+         lambda: _build_resnet(18, scale_down_exponent=3), 64, 'bf16',
+         'resnet18', 10),
+        ('resnet18_480p_latency_fps_b1_fp32', lambda: _build_resnet(18),
+         1, 'fp32', 'resnet18', 30),
+        # headline metric LAST (single-line consumers read the final line)
+        ('resnet18_480p_throughput_fps_b64', lambda: _build_resnet(18),
+         64, 'bf16', 'resnet18', 20),
+    ]
+    for metric, build, batch, dtype, base_key, n_runs in configs:
+        t0 = time.perf_counter()
+        model, variables = build()
+        fps = _measure(model, variables, batch, dtype, n_runs)
+        print(f'# {metric}: {fps:.1f} fps '
+              f'({time.perf_counter() - t0:.0f}s incl. compile)',
+              file=sys.stderr)
+        print(json.dumps({
+            'metric': metric,
+            'value': round(fps, 2),
+            'unit': 'frames/s/chip',
+            'vs_baseline': round(fps / BASELINE_FPS[base_key], 2),
+        }), flush=True)
 
 
 if __name__ == '__main__':
