@@ -1,16 +1,22 @@
-"""Results-PNG directories -> gif/mp4 — reference
-``src/playground/gif_generator.py`` (16 fps, per sequence x variant, for the
-prune/mimic sweeps)."""
+"""Render result-mask directories as gif/mp4 animations.
+
+Capability parity with the reference's ``src/playground/gif_generator.py``
+(results-PNG dirs -> 16 fps animations for eyeballing prune/mimic sweeps),
+re-designed for this framework's results contract: instead of hardcoding one
+model/variant root and per-mode directory quirks, ``convert-folder`` walks an
+arbitrary results tree (the ``results/<model>/<variant>/.../<seq>/<frame>.png``
+layout written by ``fosvos_tpu.evaluation.experiment``) and renders one
+animation per leaf image directory, mirroring the tree under the output root.
+"""
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Iterator, List
 
 import click
 import numpy as np
 
-from fosvos_tpu.data.davis import TRAIN_SEQUENCES, VAL_SEQUENCES
-
-sequences_all = sorted(set(TRAIN_SEQUENCES + VAL_SEQUENCES))
+IMAGE_SUFFIXES = ('.png', '.jpg', '.jpeg')
 
 
 def convert_to_rgb(image: np.ndarray) -> np.ndarray:
@@ -19,54 +25,75 @@ def convert_to_rgb(image: np.ndarray) -> np.ndarray:
     return image
 
 
-def dir_to_images(path: Path):
+def dir_to_images(path: Path) -> List[np.ndarray]:
     import imageio
-    files = sorted(map(str, path.iterdir()))
-    return [convert_to_rgb(np.asarray(imageio.imread(f))) for f in files]
+    files = sorted(p for p in path.iterdir()
+                   if p.suffix.lower() in IMAGE_SUFFIXES)
+    return [convert_to_rgb(np.asarray(imageio.imread(str(f))))
+            for f in files]
 
 
 def generate_gif(path_input: Path, path_output_file: Path,
-                 output_format: str, fps: int = 16) -> None:
-    if path_output_file.exists():
-        return
+                 output_format: str, fps: int = 16,
+                 overwrite: bool = False) -> bool:
+    """Render one directory of frames; returns True if a file was written."""
+    if path_output_file.exists() and not overwrite:
+        return False
     try:
         import imageio
-        files = dir_to_images(path_input)
+        frames = dir_to_images(path_input)
+        if not frames:
+            return False
         if output_format == 'gif':
-            imageio.mimsave(str(path_output_file), files, fps=fps)
+            imageio.mimsave(str(path_output_file), frames,
+                            duration=1000.0 / fps)
         elif output_format == 'mp4':
             from moviepy.editor import ImageSequenceClip
-            ImageSequenceClip(files, fps=fps).write_videofile(
-                str(path_output_file), fps=fps)
+            ImageSequenceClip(frames, fps=fps).write_videofile(
+                str(path_output_file), fps=fps, logger=None)
         else:
             raise ValueError('Unknown format: ' + output_format)
-    except Exception as e:  # noqa: BLE001 — parity with reference behavior
+        return True
+    except Exception as e:  # noqa: BLE001 — skip-and-continue over a sweep
         print('Skipped', str(path_output_file), 'because', str(e))
+        return False
+
+
+def iter_frame_dirs(root: Path) -> Iterator[Path]:
+    """Yield every directory under ``root`` that directly contains frames."""
+    if any(p.suffix.lower() in IMAGE_SUFFIXES for p in root.iterdir()
+           if p.is_file()):
+        yield root
+    for child in sorted(p for p in root.iterdir() if p.is_dir()):
+        yield from iter_frame_dirs(child)
 
 
 @click.command()
-@click.option('--path-base-input', type=str, default='results/resnet18/11')
-@click.option('--path-base-output', type=str, default='results/gifs')
+@click.option('--results-dir', type=click.Path(exists=True, file_okay=False),
+              default='results', show_default=True,
+              help='Root of a results tree (any depth of '
+                   'model/variant/sequence directories).')
+@click.option('--output-dir', type=click.Path(file_okay=False), default=None,
+              help='Output root; the input tree structure is mirrored here '
+                   '[default: <results-dir>/../gifs].')
 @click.option('--output-format', type=click.Choice(['gif', 'mp4']),
-              default='gif')
-@click.option('--mode', type=click.Choice(['prune', 'mimic']),
-              default='prune')
-def convert_folder(path_base_input, path_base_output, output_format, mode):
-    path_base_input = Path(path_base_input) / mode
-    path_base_output = Path(path_base_output) / mode
-    for sequence_name in sequences_all:
-        path_output = path_base_output / sequence_name
-        path_output.mkdir(parents=True, exist_ok=True)
-        for path_variant in sorted(path_base_input.iterdir()):
-            if mode == 'mimic':
-                path_input = path_variant / '300' / sequence_name
-            else:
-                path_input = path_variant / sequence_name
-            if path_input.exists():
-                generate_gif(path_input,
-                             path_output / (path_variant.name + '.'
-                                            + output_format),
-                             output_format)
+              default='gif', show_default=True)
+@click.option('--fps', type=int, default=16, show_default=True)
+@click.option('--overwrite/--no-overwrite', default=False, show_default=True)
+def convert_folder(results_dir, output_dir, output_format, fps, overwrite):
+    """Render every frame directory under RESULTS-DIR as an animation."""
+    results_dir = Path(results_dir)
+    output_dir = (Path(output_dir) if output_dir is not None
+                  else results_dir.parent / 'gifs')
+    n_written = 0
+    for frame_dir in iter_frame_dirs(results_dir):
+        rel = frame_dir.relative_to(results_dir)
+        out_file = output_dir / rel.parent / f'{rel.name}.{output_format}'
+        out_file.parent.mkdir(parents=True, exist_ok=True)
+        if generate_gif(frame_dir, out_file, output_format, fps=fps,
+                        overwrite=overwrite):
+            n_written += 1
+    click.echo(f'wrote {n_written} {output_format} file(s) to {output_dir}')
 
 
 if __name__ == '__main__':

@@ -40,6 +40,15 @@ import jax
 import optax
 
 
+# Canonical OSVOS hyperparameter defaults (reference
+# ``src/config/params_abstract.py:3-16`` — vestigial there, but documenting
+# the canonical values; they anchor every preset/budget below).
+DEFAULT_LR = 1e-8
+DEFAULT_WD = 0.0002
+DEFAULT_AVG_GRAD_EVERY_N = 5
+DEFAULT_N_EPOCHS = 2000
+
+
 # ---------------------------------------------------------------------------
 # Param labeling
 # ---------------------------------------------------------------------------
@@ -85,8 +94,8 @@ def label_params(params) -> Any:
 @dataclasses.dataclass(frozen=True)
 class Preset:
     family: str = 'sgd'        # sgd | adam | adagrad | adadelta | adamax
-    lr: float = 1e-8
-    weight_decay: float = 0.0002
+    lr: float = DEFAULT_LR
+    weight_decay: float = DEFAULT_WD
     momentum: float = 0.9
     grouped: bool = True       # per-group lr table vs flat net.parameters()
     # VGG online omits score_dsn groups entirely (network_provider.py:144-159)

@@ -127,3 +127,33 @@ def test_mimic_cli_end_to_end(db, tmp_path, monkeypatch):
                       'learn_from=teacher/online/5/synth-swan/synth-swan')
                  .glob('*.png'))
     assert len(masks) == 4
+
+
+def test_gif_convert_folder(tmp_path, monkeypatch):
+    """gif CLI walks an arbitrary results tree and mirrors it as gifs."""
+    imageio = pytest.importorskip('imageio')
+    from click.testing import CliRunner
+    from fosvos_tpu.cli import gif as gif_mod
+
+    # two leaf frame dirs at different depths (offline + a prune sweep)
+    rng = np.random.RandomState(0)
+    for rel in ('resnet18/11/offline/synth-swan',
+                'resnet18/11/prune/30/synth-swan'):
+        d = tmp_path / 'results' / rel
+        d.mkdir(parents=True)
+        for i in range(3):
+            imageio.imwrite(str(d / f'{i:05d}.png'),
+                            rng.randint(0, 255, (16, 24), np.uint8))
+
+    runner = CliRunner()
+    res = runner.invoke(gif_mod.convert_folder,
+                        ['--results-dir', str(tmp_path / 'results'),
+                         '--output-dir', str(tmp_path / 'gifs')])
+    assert res.exit_code == 0, res.output
+    assert (tmp_path / 'gifs/resnet18/11/offline/synth-swan.gif').exists()
+    assert (tmp_path / 'gifs/resnet18/11/prune/30/synth-swan.gif').exists()
+    # idempotent: second run skips existing outputs
+    res2 = runner.invoke(gif_mod.convert_folder,
+                         ['--results-dir', str(tmp_path / 'results'),
+                          '--output-dir', str(tmp_path / 'gifs')])
+    assert 'wrote 0' in res2.output

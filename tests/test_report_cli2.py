@@ -86,13 +86,21 @@ def test_offline_cli_end_to_end(db, tmp_path, monkeypatch):
         assert len(pngs) == 4
 
 
-def test_variants_grid():
+def test_variant_grid_resolves_to_presets():
+    """Every (offline, online) pair in the sweep grid must resolve through
+    the optimizer variant tables to constructible presets (the grid is the
+    reference's experiment sweep, src/util/variants.py:7-18)."""
+    from fosvos_tpu.train import optimizers
     from fosvos_tpu.train.variants import variants
-    assert len(variants) == 70
-    assert (0, 0) in variants and (9, 6) in variants
 
-
-def test_params_defaults():
-    from fosvos_tpu.config.defaults import ParamsDefaults
-    assert ParamsDefaults.lr() == 1e-8
-    assert ParamsDefaults.wd() == 0.0002
+    assert len(variants) == 70  # 10 offline x 7 online
+    for v_off, v_on in variants:
+        off = optimizers.offline_variant(v_off)
+        on = optimizers.online_variant(v_on)
+        for preset in (off, on):
+            assert preset.family in ('sgd', 'adam', 'adagrad', 'adadelta',
+                                     'adamax')
+            assert preset.lr > 0
+    # the grid covers only implemented variant ids — out-of-table ids raise
+    with pytest.raises(ValueError):
+        optimizers.offline_variant(99)
