@@ -94,6 +94,10 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
     jdt = jnp.bfloat16 if dtype == 'bf16' else jnp.float32
     if dtype == 'bf16':
         variables = _bf16(variables)
+    # pin params in HBM: numpy leaves (e.g. from prune.materialize) would
+    # otherwise be re-transferred over the host link on every call, which
+    # measured 7x slower than the model itself behind this tunnel
+    variables = jax.device_put(variables)
 
     @jax.jit
     def forward_masks(variables, images):

@@ -32,6 +32,11 @@ def get_base_parser() -> argparse.ArgumentParser:
                              '(offline 240 / online 10000)')
     parser.add_argument('--start-epoch', default=None, type=int,
                         help='resume from this epoch checkpoint')
+    parser.add_argument('--visualize-results', action='store_true',
+                        help='additionally write prediction-overlay PNGs '
+                             'next to the masks (headless equivalent of the '
+                             "reference's live result window, "
+                             'experiment_helper.py:83-104)')
     return parser
 
 

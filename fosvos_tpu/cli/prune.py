@@ -95,9 +95,10 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
     db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
                    seq_name=seq_name)
 
-    # ranking/fine-tune data: random flips like the reference's augmented
-    # train loader (prune.py:226-251 uses io_helper.get_data_loader_train);
-    # multi-scale is omitted so the ranking pass stays a single compiled scan
+    # ranking/fine-tune data: the reference's full augmented train loader
+    # (flip + multi-scale, prune.py:226-251 via io_helper.get_data_loader_
+    # train). The three scale shapes are grouped into per-shape compiled
+    # rank-scans inside TaylorRanker.rank — one dispatch per scale bucket.
     import numpy as np
     from fosvos_tpu.data import transforms as _tf
     aug_rng = np.random.RandomState(0)
@@ -106,7 +107,7 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
         for i in np.random.RandomState(aug_rng.randint(2**31)) \
                 .permutation(len(db)):
             img, gt = db.make_img_gt_pair(int(i))
-            s = _tf.random_horizontal_flip({'image': img, 'gt': gt}, aug_rng)
+            s = _tf.train_augment({'image': img, 'gt': gt}, aug_rng)
             yield s['image'][None], s['gt'][None, ..., None]
 
     models_dir = Path('models') / path_stem

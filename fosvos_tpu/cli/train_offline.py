@@ -58,7 +58,8 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
 
         if getattr(settings, 'data_parallel', False):
             state = _train_data_parallel(net_provider, db_train, settings,
-                                         log_epoch, snapshot)
+                                         log_epoch, snapshot,
+                                         test_db=test_db, log_test=log_test)
         else:
             state = offline.train_offline(
                 net_provider.model, net_provider.variables, db_train,
@@ -90,31 +91,39 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
         out = experiment.test(net_provider.model, net_provider.variables,
                               db_test, str(save_dir),
                               eval_speeds=settings.eval_speeds,
-                              batch_size=settings.batch_size_test)
+                              batch_size=settings.batch_size_test,
+                              is_visualizing_results=(
+                                  settings.is_visualizing_results))
         log.info('Test finished: %d images in %.2fs',
                  out['n_images'], out['total_time_s'])
 
 
 def _train_data_parallel(net_provider, db_train, settings, log_epoch,
-                         snapshot):
-    """Mesh data-parallel offline training over all local devices
+                         snapshot, test_db=None, log_test=None):
+    """Mesh data-parallel offline training over all devices
     (fosvos_tpu.parallel.data_parallel); the effective batch is
-    batch_size_train * n_devices, sharded over the 'data' axis."""
+    batch_size_train * n_devices, sharded over the 'data' axis.
+
+    Feature parity with the single-device path: uint8 raw batches decoded on
+    the native C++ prefetch threads, device-side normalization (sharded),
+    and the test-while-training loss pass."""
     import time
     import numpy as np
-    from fosvos_tpu.parallel import data_parallel, make_mesh
+    from fosvos_tpu.parallel import data_parallel
+    from fosvos_tpu.runtime import distributed
 
-    mesh = make_mesh(('data',))
+    mesh = distributed.global_mesh(('data',))
     trainer = data_parallel.ShardedOfflineTrainer(
         net_provider.model, mesh, net_provider.get_preset(),
-        settings.avg_grad_every_n)
+        settings.avg_grad_every_n, device_preprocess=True,
+        meanval=db_train.meanval)
     state = trainer.init_state(net_provider.variables)
     rng = np.random.RandomState(0)
     global_batch = settings.batch_size_train * mesh.size
     for epoch in range(settings.start_epoch, settings.n_epochs):
         t0 = time.perf_counter()
         sums, n = np.zeros(5), 0
-        for batch in offline.iterate_batches(db_train, global_batch, rng):
+        for batch in offline.iterate_raw_batches(db_train, global_batch, rng):
             state, losses = trainer.train_step(state, batch['image'],
                                                batch['gt'],
                                                epoch / settings.n_epochs)
@@ -126,12 +135,41 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
         if epoch % settings.snapshot_every_n == settings.snapshot_every_n - 1 \
                 and epoch != 0:
             snapshot(epoch, state)
+
+        # test-while-training loss pass (reference train_offline.py:115-136),
+        # sharded: mesh.size frames per eval step (the last chunk pads by
+        # repeating its final frame — a monitoring signal, not a metric)
+        if test_db is not None and \
+                epoch % settings.test_every_n == settings.test_every_n - 1:
+            tsums, tn = np.zeros(5), 0
+            for c0 in range(0, len(test_db), mesh.size):
+                pairs = [test_db.make_raw_pair(i)
+                         for i in range(c0, min(c0 + mesh.size,
+                                                len(test_db)))]
+                imgs = np.stack([p[0] for p in pairs])
+                gts = np.stack([p[1] for p in pairs])[..., None]
+                pad = mesh.size - len(pairs)
+                if pad:
+                    imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+                    gts = np.concatenate([gts, gts[-1:].repeat(pad, 0)])
+                losses = trainer.eval_step(state, imgs, gts)
+                tsums += np.asarray(losses)
+                tn += 1
+            if log_test is not None:
+                log_test(offline.EpochStats(
+                    epoch=epoch, mean_losses=tsums / max(tn, 1),
+                    wall_time_s=0.0))
     return state
 
 
 def main(argv=None):
     args = parse_args(is_online=False, argv=argv)
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
+
+    # join the DCN process group when launched as part of a pod slice
+    # (no-op single-process; see runtime.distributed)
+    from fosvos_tpu.runtime import distributed
+    distributed.initialize()
 
     save_dir_models = Path('models')
     save_dir_models.mkdir(parents=True, exist_ok=True)
@@ -146,7 +184,8 @@ def main(argv=None):
         avg_grad_every_n=10, snapshot_every_n=40,
         is_testing_while_training=False, test_every_n=5, batch_size_train=1,
         batch_size_test=1, is_visualizing_network=False,
-        is_visualizing_results=False, is_loading_vgg_caffe=False,
+        is_visualizing_results=getattr(args, 'visualize_results', False),
+        is_loading_vgg_caffe=False,
         variant_offline=args.variant_offline, eval_speeds=args.eval_speeds)
     settings.data_parallel = args.data_parallel
 

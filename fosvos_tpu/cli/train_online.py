@@ -83,7 +83,9 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
                               str(save_dir), seq_name=seq_name,
                               eval_speeds=settings.eval_speeds,
                               batch_size=settings.batch_size_test,
-                              engine=engine)
+                              engine=engine,
+                              is_visualizing_results=(
+                                  settings.is_visualizing_results))
         log.info('Test %s: %d images in %.2fs', seq_name, out['n_images'],
                  out['total_time_s'])
 
@@ -151,7 +153,8 @@ def main(argv=None):
         avg_grad_every_n=5,
         snapshot_every_n=n_epochs, is_testing_while_training=False,
         test_every_n=5, batch_size_train=1, batch_size_test=1,
-        is_visualizing_network=False, is_visualizing_results=False,
+        is_visualizing_network=False,
+        is_visualizing_results=getattr(args, 'visualize_results', False),
         offline_epoch=240, variant_offline=args.variant_offline,
         variant_online=args.variant_online, eval_speeds=args.eval_speeds)
 

@@ -116,39 +116,48 @@ class TaylorRanker:
         """Signed Taylor scores accumulated over batches
         (``filter_ranks[i] += values``, prune.py:173-177).
 
-        Same-shaped batches are stacked and the accumulation runs as ONE
-        compiled ``lax.scan`` on device (a single dispatch per ranking pass
-        instead of one per batch)."""
+        Batches are grouped by shape — the multi-scale augmented ranking
+        distribution {0.5, 0.8, 1} x flip (the reference ranks over the full
+        augmented loader, prune.py:226-251) yields three static shapes —
+        and each group's accumulation runs as ONE compiled ``lax.scan`` on
+        device: one dispatch per scale bucket per ranking pass, one compile
+        per scale for the whole prune run (mask gradients are summed across
+        groups, which is order-independent)."""
         batches = [(np.asarray(i), np.asarray(g)) for i, g in batches]
-        shapes = {(i.shape, g.shape) for i, g in batches}
-        if len(batches) > 1 and len(shapes) == 1:
-            imgs = jnp.asarray(np.stack([i for i, _ in batches]))
-            gts = jnp.asarray(np.stack([g for _, g in batches]))
-            if self._scan_fn is None:
-                loss_of_masks = self._loss_of_masks
+        groups: Dict[tuple, list] = {}
+        for i, g in batches:
+            groups.setdefault((i.shape, g.shape), []).append((i, g))
 
-                @jax.jit
-                def rank_scan(masks, params, stats, imgs_k, gts_k):
-                    def body(acc, xy):
-                        img, gt = xy
-                        g = jax.grad(loss_of_masks)(masks, params, stats,
-                                                    img, gt)
-                        return jax.tree.map(jnp.add, acc, g), None
+        if self._scan_fn is None:
+            loss_of_masks = self._loss_of_masks
 
-                    acc0 = jax.tree.map(jnp.zeros_like, masks)
-                    acc, _ = jax.lax.scan(body, acc0, (imgs_k, gts_k))
-                    return acc
+            @jax.jit
+            def rank_scan(masks, params, stats, imgs_k, gts_k):
+                def body(acc, xy):
+                    img, gt = xy
+                    g = jax.grad(loss_of_masks)(masks, params, stats,
+                                                img, gt)
+                    return jax.tree.map(jnp.add, acc, g), None
 
-                self._scan_fn = rank_scan
-            return self._scan_fn(masks, variables['params'],
-                                 variables['batch_stats'], imgs, gts)
+                acc0 = jax.tree.map(jnp.zeros_like, masks)
+                acc, _ = jax.lax.scan(body, acc0, (imgs_k, gts_k))
+                return acc
+
+            self._scan_fn = rank_scan
 
         ranks = {k: jnp.zeros_like(m) for k, m in masks.items()}
-        for images, gts in batches:
-            g = self._grad_fn(masks, variables['params'],
-                              variables['batch_stats'],
-                              jnp.asarray(images), jnp.asarray(gts))
-            ranks = {k: ranks[k] + g[k] for k in ranks}
+        for group in groups.values():
+            if len(group) > 1:
+                imgs = jnp.asarray(np.stack([i for i, _ in group]))
+                gts = jnp.asarray(np.stack([g for _, g in group]))
+                r = self._scan_fn(masks, variables['params'],
+                                  variables['batch_stats'], imgs, gts)
+            else:
+                r = self._grad_fn(masks, variables['params'],
+                                  variables['batch_stats'],
+                                  jnp.asarray(group[0][0]),
+                                  jnp.asarray(group[0][1]))
+            ranks = {k: ranks[k] + r[k] for k in ranks}
         return ranks
 
 

@@ -136,14 +136,31 @@ class SpeedReport:
     fps: float
 
 
+def write_overlay_png(path: str, frame_bgr_u8: np.ndarray,
+                      mask_u8: np.ndarray, threshold: float = 0.5) -> None:
+    """Frame with the predicted mask blended in red + contour outline —
+    the headless equivalent of the reference's live result window
+    (``experiment_helper.py:83-104`` draws the overlaid prediction per
+    frame with matplotlib)."""
+    import cv2
+    from fosvos_tpu.data.helpers import overlay_mask
+    im = frame_bgr_u8.astype(np.float32) / 255.0
+    ma = mask_u8.astype(np.float32) / 255.0 >= threshold
+    # red in BGR channel order (the reference displays RGB via matplotlib)
+    over = overlay_mask(im, ma, color=np.array([0, 0, 255]) / 255.0)
+    cv2.imwrite(str(path), np.clip(over * 255.0, 0, 255).astype(np.uint8))
+
+
 def test(model, variables, dataset: DAVIS2016, save_dir: str,
          seq_name: Optional[str] = None, eval_speeds: bool = False,
-         batch_size: int = 4, engine: Optional[InferenceEngine] = None
+         batch_size: int = 4, engine: Optional[InferenceEngine] = None,
+         is_visualizing_results: bool = False
          ) -> Dict[str, object]:
     """Run inference over sequences and write masks (reference ``test()``).
 
     Output layout identical to the reference: ``<save_dir>/<seq>/<fname>.png``
-    (experiment_helper.py:60-64).
+    (experiment_helper.py:60-64). With ``is_visualizing_results``, overlay
+    renders additionally go to ``<save_dir>/<seq>/overlays/``.
     """
     engine = engine or InferenceEngine(model, batch_size,
                                        mean=dataset.meanval)
@@ -151,11 +168,18 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
     seqs = [seq_name] if seq_name else dataset.sequence_names
     # uint8 ingest only when the engine's on-device mean matches the dataset
     # (a shared engine may have been built for a different mean)
-    raw = tuple(engine.mean) == tuple(dataset.meanval)
+    raw_ingest = tuple(engine.mean) == tuple(dataset.meanval)
     t_all = time.perf_counter()
     n_images = 0
     for seq in seqs:
-        images, _, names = dataset.load_sequence(seq, raw=raw)
+        images, _, names = dataset.load_sequence(
+            seq, raw=raw_ingest or is_visualizing_results)
+        raw_images = images if images.dtype == np.uint8 else None
+        if images.dtype == np.uint8 and not raw_ingest:
+            # overlays wanted but the engine preprocesses with another mean:
+            # fall back to host preprocessing for the forward
+            images = (images.astype(np.float32)
+                      - np.asarray(dataset.meanval, np.float32))
         n_images += len(names)
         if eval_speeds:
             results[seq] = engine.benchmark(variables, images)
@@ -165,6 +189,11 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
             out_dir.mkdir(parents=True, exist_ok=True)
             for name, m in zip(names, masks):
                 write_mask_png(str(out_dir / f'{name}.png'), m)
+            if is_visualizing_results and raw_images is not None:
+                ov_dir = out_dir / 'overlays'
+                ov_dir.mkdir(exist_ok=True)
+                for name, frame, m in zip(names, raw_images, masks):
+                    write_overlay_png(str(ov_dir / f'{name}.png'), frame, m)
             results[seq] = masks
     results['total_time_s'] = time.perf_counter() - t_all
     results['n_images'] = n_images

@@ -69,6 +69,60 @@ def plot_per_sequence(metrics_doc: dict, out_path: str,
     return out_path
 
 
+def render_video_grid(frames_dir: str, model_mask_dirs: Dict[str, str],
+                      out_path: str, fps: int = 16,
+                      threshold: float = 0.5) -> str:
+    """Side-by-side comparison video of one sequence across models —
+    the reference notebook's video grids (``visualizations.ipynb`` cells
+    29-34, moviepy clips_array over results dirs).
+
+    ``frames_dir``: the sequence's JPEG frames; ``model_mask_dirs``:
+    {label -> directory of that model's mask PNGs for the same sequence}.
+    Layout: the raw frame first, then one overlay panel per model, each
+    captioned; written as gif or mp4 by extension.
+    """
+    import cv2
+    import numpy as np
+
+    from fosvos_tpu.data.helpers import overlay_mask
+
+    frame_files = sorted(Path(frames_dir).glob('*.jpg'))
+    if not frame_files:
+        raise ValueError(f'no frames in {frames_dir}')
+
+    def caption(panel: np.ndarray, text: str) -> np.ndarray:
+        bar = np.zeros((18, panel.shape[1], 3), panel.dtype)
+        cv2.putText(bar, text, (4, 13), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                    (255, 255, 255), 1, cv2.LINE_AA)
+        return np.concatenate([bar, panel], axis=0)
+
+    grid_frames = []
+    for f in frame_files:
+        frame = cv2.imread(str(f))
+        panels = [caption(frame, 'input')]
+        for label, d in model_mask_dirs.items():
+            mask_path = Path(d) / (f.stem + '.png')
+            mask = cv2.imread(str(mask_path), 0)
+            if mask is None:
+                mask = np.zeros(frame.shape[:2], np.uint8)
+            ma = mask.astype(np.float32) / 255.0 >= threshold
+            over = overlay_mask(frame.astype(np.float32) / 255.0, ma,
+                                color=np.array([0, 0, 255]) / 255.0)
+            panels.append(caption(
+                np.clip(over * 255.0, 0, 255).astype(np.uint8), label))
+        grid = np.concatenate(panels, axis=1)
+        grid_frames.append(cv2.cvtColor(grid, cv2.COLOR_BGR2RGB))
+
+    import imageio
+    if str(out_path).endswith('.gif'):
+        imageio.mimsave(out_path, grid_frames, duration=1000.0 / fps)
+    else:
+        imageio.mimsave(out_path, grid_frames, fps=fps)
+    log.info('Wrote %s (%d frames, %d panels)', out_path, len(grid_frames),
+             1 + len(model_mask_dirs))
+    return out_path
+
+
 def plot_quality_vs_speed(points: Dict[str, dict], out_path: str) -> str:
     """Scatter of J_mean vs fps per model variant (notebook cell 28's
     metric-vs-speed view). ``points``: name -> {'j_mean': x, 'fps': y}."""

@@ -35,14 +35,24 @@ class ShardedOfflineTrainer:
     def __init__(self, model, mesh: Mesh,
                  preset: Optional[optimizers.Preset] = None,
                  avg_grad_every_n: int = 10,
-                 shard_spatial: bool = False):
+                 shard_spatial: bool = False,
+                 device_preprocess: bool = False,
+                 meanval=None):
+        from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
         self.model = model
         self.mesh = mesh
         self.preset = preset or optimizers.Preset()
         self.avg_grad_every_n = avg_grad_every_n
         self.shard_spatial = shard_spatial and 'spatial' in mesh.axis_names
+        # uint8 transfer format: normalization (davis_2016.py:127-132) runs
+        # on device, sharded like the batch — same contract as the
+        # single-device OfflineTrainer(device_preprocess=True)
+        self.device_preprocess = device_preprocess
+        self.meanval = jnp.asarray(meanval if meanval is not None
+                                   else DAVIS_MEAN_BGR, jnp.float32)
         self._optimizer = None
         self._train_step = None
+        self._eval_step = None
 
     @property
     def batch_sharding(self) -> NamedSharding:
@@ -66,8 +76,21 @@ class ShardedOfflineTrainer:
                                      every_k_schedule=self.avg_grad_every_n)
         model = self.model
         repl, bsh = self.replicated, self.batch_sharding
+        mean = self.meanval
+        device_preprocess = self.device_preprocess
+
+        def _normalize(images, gts):
+            if device_preprocess:
+                images = images.astype(jnp.float32) - mean
+                gts = gts.astype(jnp.float32)
+                gmax = jnp.maximum(
+                    jnp.max(gts, axis=(1, 2, 3), keepdims=True), 1e-8)
+                gts = gts / gmax
+            return images, gts
 
         def step(state: TrainState, images, gts, epoch_frac):
+            images, gts = _normalize(images, gts)
+
             def loss_fn(p):
                 outs, mut = model.apply(
                     {'params': p, 'batch_stats': state.batch_stats}, images,
@@ -84,11 +107,23 @@ class ShardedOfflineTrainer:
                                    opt_state=opt_state, step=state.step + 1)
             return new_state, jnp.stack(losses)
 
+        def eval_step(params, batch_stats, images, gts):
+            images, gts = _normalize(images, gts)
+            outs = model.apply({'params': params, 'batch_stats': batch_stats},
+                               images, train=False)
+            _, losses = deep_supervision_loss(outs, gts, jnp.asarray(0.0))
+            return jnp.stack(losses)
+
         self._optimizer = optimizer
         self._train_step = jax.jit(
             step,
             in_shardings=(repl, bsh, bsh, None),
             out_shardings=(repl, repl),
+        )
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(repl, repl, bsh, bsh),
+            out_shardings=repl,
         )
 
     def train_step(self, state, images, gts, epoch_frac):
@@ -96,3 +131,9 @@ class ShardedOfflineTrainer:
         gts = jax.device_put(jnp.asarray(gts), self.batch_sharding)
         return self._train_step(state, images, gts,
                                 jnp.asarray(epoch_frac, jnp.float32))
+
+    def eval_step(self, state, images, gts):
+        """Sharded test-while-training loss pass (train_offline.py:115-136)."""
+        images = jax.device_put(jnp.asarray(images), self.batch_sharding)
+        gts = jax.device_put(jnp.asarray(gts), self.batch_sharding)
+        return self._eval_step(state.params, state.batch_stats, images, gts)

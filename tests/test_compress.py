@@ -238,3 +238,28 @@ def test_bottleneck_materialize_preserves_function():
     for a, b in zip(outs_masked, outs_small):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_rank_mixed_scales_matches_loop(tiny):
+    """Multi-scale ranking batches (flip x {0.5,0.8,1} shapes) must be
+    grouped per shape into compiled scans and sum to the per-batch loop
+    result — the full augmented ranking distribution of the reference
+    (prune.py:226-251)."""
+    model, arch, variables = tiny
+    masks = prune.init_masks(arch)
+    batches = [_batch(seed=20, h=32, w=48), _batch(seed=21, h=16, w=24),
+               _batch(seed=22, h=32, w=48), _batch(seed=23, h=26, w=38),
+               _batch(seed=24, h=16, w=24)]
+
+    ranker_loop = prune.TaylorRanker(model, is_offline=True)
+    want = {k: np.zeros_like(np.asarray(m)) for k, m in masks.items()}
+    for b in batches:
+        r = ranker_loop.rank(variables, masks, [b])
+        want = {k: want[k] + np.asarray(r[k]) for k in want}
+
+    ranker = prune.TaylorRanker(model, is_offline=True)
+    got = ranker.rank(variables, masks, batches)
+    assert ranker._scan_fn is not None
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), want[k],
+                                   rtol=1e-4, atol=1e-6)

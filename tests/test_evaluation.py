@@ -128,3 +128,20 @@ def test_experiment_test_uses_raw_ingest(db, tmp_path):
     out = experiment.test(model, variables, ds, str(tmp_path / 'r'),
                           seq_name='synth-goat', batch_size=2)
     assert len(list((tmp_path / 'r' / 'synth-goat').glob('*.png'))) == 4
+
+
+def test_visualize_results_writes_overlays(db, tmp_path):
+    """is_visualizing_results emits overlay PNGs next to the masks
+    (reference experiment_helper.py:83-104, headless)."""
+    import cv2
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    experiment.test(model, variables, ds, str(tmp_path / 'r'),
+                    seq_name='synth-swan', batch_size=2,
+                    is_visualizing_results=True)
+    overlays = sorted((tmp_path / 'r/synth-swan/overlays').glob('*.png'))
+    assert len(overlays) == 4
+    im = cv2.imread(str(overlays[0]))
+    assert im is not None and im.shape == (32, 48, 3)

@@ -196,3 +196,87 @@ def test_fanout_uint8_ingest_matches_float(db, tiny):
     np.testing.assert_array_equal(
         np.asarray(res_u.params['layer_fuse']['kernel']),
         np.asarray(res_f.params['layer_fuse']['kernel']))
+
+
+def test_dp_device_preprocess_matches_host(db, tiny):
+    """Sharded uint8 ingest (device normalize) must equal the float path
+    bit-for-bit: uint8->f32 is exact and the fixture masks are binary."""
+    model, variables = tiny
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    pf = [ds.make_img_gt_pair(i) for i in range(8)]
+    pu = [ds.make_raw_pair(i) for i in range(8)]
+    imgs_f = np.stack([p[0] for p in pf])
+    gts_f = np.stack([p[1] for p in pf])[..., None]
+    imgs_u = np.stack([p[0] for p in pu])
+    gts_u = np.stack([p[1] for p in pu])[..., None]
+
+    m = make_mesh(('data',))
+    preset = optimizers.offline_variant(11)
+    t_f = data_parallel.ShardedOfflineTrainer(model, m, preset,
+                                              avg_grad_every_n=1)
+    t_u = data_parallel.ShardedOfflineTrainer(model, m, preset,
+                                              avg_grad_every_n=1,
+                                              device_preprocess=True,
+                                              meanval=ds.meanval)
+    s_f, l_f = t_f.train_step(t_f.init_state(variables), imgs_f, gts_f, 0.0)
+    s_u, l_u = t_u.train_step(t_u.init_state(variables), imgs_u, gts_u, 0.0)
+    np.testing.assert_array_equal(np.asarray(l_u), np.asarray(l_f))
+    np.testing.assert_array_equal(
+        np.asarray(s_u.params['layer_fuse']['kernel']),
+        np.asarray(s_f.params['layer_fuse']['kernel']))
+    # eval step parity too (test-while-training path)
+    e_f = t_f.eval_step(s_f, imgs_f, gts_f)
+    e_u = t_u.eval_step(s_u, imgs_u, gts_u)
+    np.testing.assert_array_equal(np.asarray(e_u), np.asarray(e_f))
+
+
+def test_dp_cli_with_test_while_training(db, tiny, tmp_path, monkeypatch):
+    """--data-parallel CLI path: raw prefetch batches, sharded eval pass,
+    snapshots — feature parity with the single-device loop."""
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+    from fosvos_tpu.cli import train_offline as cli_mod
+    from fosvos_tpu.models import resnet_arch as arch_fn
+    from fosvos_tpu.runtime import checkpoint, providers
+
+    orig = cli_mod.OfflineSettings
+
+    def small(**kw):
+        kw.update(n_epochs=2, snapshot_every_n=2, batch_size_train=1,
+                  is_testing_while_training=True, test_every_n=1)
+        return orig(**kw)
+
+    monkeypatch.setattr(cli_mod, 'OfflineSettings', small)
+
+    def tiny_init(self, arch=None):
+        from fosvos_tpu.models import OSVOSResNet
+        self.model = OSVOSResNet(arch=arch or arch_fn(
+            18, scale_down_exponent=4))
+        variables = self.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 3), jnp.float32),
+            train=False)
+        self.variables = dict(variables)
+        return self.model
+
+    monkeypatch.setattr(providers.NetworkProvider, 'init_network', tiny_init)
+
+    test_losses = []
+    orig_fn = cli_mod._train_data_parallel
+
+    def spy(net_provider, db_train, settings, log_epoch, snapshot,
+            test_db=None, log_test=None):
+        def spy_log(stats):
+            test_losses.append(stats.mean_losses)
+            if log_test:
+                log_test(stats)
+        return orig_fn(net_provider, db_train, settings, log_epoch,
+                       snapshot, test_db=test_db, log_test=spy_log)
+
+    monkeypatch.setattr(cli_mod, '_train_data_parallel', spy)
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--data-parallel', '--no-testing', '--db-root-dir', db])
+
+    assert checkpoint.exists('models', 'resnet18_11_epoch-1')
+    assert len(test_losses) == 2          # test pass ran every epoch
+    assert np.isfinite(np.stack(test_losses)).all()

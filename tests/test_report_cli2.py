@@ -104,3 +104,35 @@ def test_variant_grid_resolves_to_presets():
     # the grid covers only implemented variant ids — out-of-table ids raise
     with pytest.raises(ValueError):
         optimizers.offline_variant(99)
+
+
+def test_video_grid_compare_cli(db, tmp_path):
+    """report CLI: side-by-side overlay video from two results dirs
+    (reference notebook cells 29-34)."""
+    pytest.importorskip('imageio')
+    import cv2
+    from click.testing import CliRunner
+    from fosvos_tpu.cli import report as report_cli
+
+    frames_dir = Path(db) / 'JPEGImages/480p/synth-swan'
+    rng = np.random.RandomState(0)
+    for model_name in ('teacher', 'student'):
+        d = tmp_path / 'results' / model_name / 'synth-swan'
+        d.mkdir(parents=True)
+        for f in sorted(frames_dir.glob('*.jpg')):
+            cv2.imwrite(str(d / (f.stem + '.png')),
+                        rng.randint(0, 255, (32, 48), np.uint8))
+
+    out = tmp_path / 'cmp.gif'
+    res = CliRunner().invoke(report_cli.cli, [
+        'compare', '--frames-dir', str(frames_dir),
+        '--masks', f'teacher={tmp_path}/results/teacher/synth-swan',
+        '--masks', f'student={tmp_path}/results/student/synth-swan',
+        '--output', str(out)])
+    assert res.exit_code == 0, res.output
+    assert out.stat().st_size > 1000
+    import imageio
+    frames = imageio.mimread(str(out))
+    assert len(frames) == 4
+    # 3 panels (input + 2 models) side by side, plus caption bars
+    assert frames[0].shape[1] == 48 * 3

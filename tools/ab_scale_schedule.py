@@ -30,7 +30,7 @@ from fosvos_tpu.models import OSVOSResNet, resnet_arch  # noqa: E402
 from fosvos_tpu.train import online  # noqa: E402
 from fosvos_tpu.train.losses import online_loss  # noqa: E402
 
-N_STEPS = 600
+N_STEPS = 3000
 SEEDS = (0, 1, 2)
 
 
