@@ -11,9 +11,9 @@ TPU-native deltas:
   sigmoid+quantization fused on device, single D2H of uint8 masks;
 * ingest is **uint8**: raw BGR frames cross the host->device link (4x fewer
   bytes than float32 — the link is the bottleneck behind this tunnel) and
-  mean subtraction (davis_2016.py:127-128) runs on device, fused into the
-  forward (Pallas kernel on TPU, plain XLA elsewhere) — bit-identical to
-  host-side preprocessing since uint8->f32 is exact;
+  mean subtraction (davis_2016.py:127-128) runs on device, where XLA fuses
+  it into the first conv — bit-identical to host-side preprocessing since
+  uint8->f32 is exact;
 * the speed harness uses ``jax.block_until_ready`` with the same
   10-runs/skip-first methodology (``experiment_helper.py:42-53``), so numbers
   are comparable with the reference's measurement protocol.
@@ -43,13 +43,12 @@ def device_preprocess(images: jax.Array,
 
     float32 input is passed through unchanged (already preprocessed on host).
     uint8->f32 casting is exact, so the two ingest paths produce bit-identical
-    activations. On TPU the fused Pallas kernel does it in one VMEM pass.
-    """
+    activations. Deliberately plain XLA: the cast+subtract fuses into the
+    first conv's input read, which measured 33% faster end-to-end than a
+    dedicated Pallas preprocess kernel whose output must round-trip HBM at
+    float32 (BENCHMARKS.md "Pallas kernels: measured and retired")."""
     if images.dtype != jnp.uint8:
         return images
-    if jax.default_backend() == 'tpu':
-        from fosvos_tpu.core.kernels import preprocess_frames_pallas
-        return preprocess_frames_pallas(images, tuple(mean))
     return images.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
 
 

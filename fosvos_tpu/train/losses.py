@@ -4,6 +4,7 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from fosvos_tpu.core.ops import class_balanced_cross_entropy_loss
 
@@ -16,6 +17,12 @@ def deep_supervision_loss(outputs: Sequence[jax.Array], gts: jax.Array,
     Per-output CB-BCE (``size_average=False``), total =
     ``(1 - epoch/n_epochs) * sum(side losses) + fuse loss`` — the side
     supervision anneals away over training.
+
+    Deliberately five plain-XLA loss calls: each map's reductions fuse into
+    its producer head, so the logits never round-trip HBM. A single-pass
+    Pallas kernel over all five maps (which must materialize its inputs)
+    measured 17% *slower* per train step — see BENCHMARKS.md "Pallas
+    kernels: measured and retired".
     """
     losses = [class_balanced_cross_entropy_loss(o, gts, size_average=False)
               for o in outputs]

@@ -80,7 +80,8 @@ class OfflineTrainer:
                 outs, mut = model.apply(
                     {'params': p, 'batch_stats': state.batch_stats}, images,
                     train=True, mutable=['batch_stats'])
-                total, losses = deep_supervision_loss(outs, gts, epoch_frac)
+                total, losses = deep_supervision_loss(outs, gts,
+                                                      epoch_frac)
                 return total, (mut['batch_stats'], losses)
 
             (_, (new_stats, losses)), grads = jax.value_and_grad(
