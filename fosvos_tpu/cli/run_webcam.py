@@ -71,22 +71,42 @@ def get_network(variant: str, version: Optional[int],
     return model, variables
 
 
-def make_segment_fn(model, variables, boolean_mask: bool):
+def make_segment_fn(model, variables, boolean_mask: bool,
+                    bf16: bool = False):
+    """(submit, fetch) pair for the jitted segmentation step.
+
+    ``submit(frame_u8)`` enqueues one frame and returns a device future;
+    ``fetch(fut)`` blocks and returns the numpy prediction. Splitting the
+    two lets the streaming loop double-buffer: frame k executes on device
+    while frame k-1's result crosses the link back — behind a high-latency
+    tunnel this hides a full round trip per frame.
+
+    ``bf16`` runs the trunk in bfloat16 (the TPU serving precision; masks
+    thresholded at 0.5 are insensitive to it, fp32 stays the default for
+    strict parity).
+    """
     import jax
     import jax.numpy as jnp
 
     mean = jnp.asarray(mean_value)
+    if bf16:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+            else a, variables)
+    variables = jax.device_put(variables)
 
     @jax.jit
     def segment(frame_u8):
         x = frame_u8.astype(jnp.float32) - mean
+        if bf16:
+            x = x.astype(jnp.bfloat16)
         outs = model.apply(variables, x[None], train=False)
-        prob = jax.nn.sigmoid(outs[-1][0, ..., 0])
+        prob = jax.nn.sigmoid(outs[-1][0, ..., 0].astype(jnp.float32))
         if boolean_mask:
             prob = (prob >= 0.5).astype(jnp.float32)
         return prob
 
-    return lambda frame: np.asarray(segment(frame))
+    return segment, lambda fut: np.asarray(fut)
 
 
 def perform_overlay(input_img, prediction, overlay_alpha, overlay_color):
@@ -118,18 +138,49 @@ def perform_overlay(input_img, prediction, overlay_alpha, overlay_color):
 @click.option('--headless', is_flag=True, default=False,
               help='no display window; log FPS only')
 @click.option('--max-frames', type=int, default=None)
+@click.option('--bf16', is_flag=True, default=False,
+              help='bfloat16 trunk (TPU serving precision)')
+@click.option('--pipeline/--no-pipeline', default=True, show_default=True,
+              help='double-buffer: segment frame k on device while frame '
+                   "k-1's result returns (display lags one frame; hides the "
+                   'host<->device round trip)')
 def main(variant, version, webcam, video, model_path, mirror, use_network,
          overlay, boolean_mask, overlay_color, overlay_alpha, headless,
-         max_frames):
+         max_frames, bf16, pipeline):
     import cv2
 
-    segment = None
+    submit = fetch = None
     if use_network:
         model, variables = get_network(variant, version, model_path)
-        segment = make_segment_fn(model, variables, boolean_mask)
+        submit, fetch = make_segment_fn(model, variables, boolean_mask,
+                                        bf16=bf16)
+
+    last_shown = [None]
+
+    def show(img, pred, start_time):
+        if pred is not None:
+            img = (perform_overlay(img, pred, overlay_alpha, overlay_color)
+                   if overlay else (pred * 255).astype('uint8'))
+        if not headless:
+            cv2.imshow(variant, img)
+            if cv2.waitKey(1) == 27:
+                return False
+        # throughput (display-to-display), correct in both pipeline modes;
+        # per-frame latency additionally logged when it differs (pipelining
+        # trades one frame of display lag for throughput)
+        now = time.time()
+        if last_shown[0] is not None:
+            log.info('FPS: {0:0.1f}'.format(
+                1.0 / max(now - last_shown[0], 1e-6)))
+        else:
+            log.info('FPS: {0:0.1f}'.format(
+                1.0 / max(now - start_time, 1e-6)))
+        last_shown[0] = now
+        return True
 
     cam = cv2.VideoCapture(video if video else webcam)
     n = 0
+    in_flight = None   # (img, device future, start_time) when pipelining
     while True:
         start_time = time.time()
         ret_val, img = cam.read()
@@ -137,18 +188,26 @@ def main(variant, version, webcam, video, model_path, mirror, use_network,
             break
         if mirror:
             img = cv2.flip(img, 1)
-        if segment is not None:
-            pred = segment(img)
-            img = (perform_overlay(img, pred, overlay_alpha, overlay_color)
-                   if overlay else (pred * 255).astype('uint8'))
-        if not headless:
-            cv2.imshow(variant, img)
-            if cv2.waitKey(1) == 27:
+        if submit is None:
+            if not show(img, None, start_time):
                 break
-        log.info('FPS: {0:0.1f}'.format(1.0 / (time.time() - start_time)))
+        elif pipeline:
+            fut = submit(img)             # enqueue frame k (async dispatch)
+            if in_flight is not None:
+                prev_img, prev_fut, prev_t = in_flight
+                if not show(prev_img, fetch(prev_fut), prev_t):
+                    in_flight = None
+                    break
+            in_flight = (img, fut, start_time)
+        else:
+            if not show(img, fetch(submit(img)), start_time):
+                break
         n += 1
         if max_frames is not None and n >= max_frames:
             break
+    if in_flight is not None:
+        prev_img, prev_fut, prev_t = in_flight
+        show(prev_img, fetch(prev_fut), prev_t)
     cam.release()
     if not headless:
         cv2.destroyAllWindows()
