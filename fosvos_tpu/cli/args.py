@@ -32,6 +32,10 @@ def get_base_parser() -> argparse.ArgumentParser:
                              '(offline 240 / online 10000)')
     parser.add_argument('--start-epoch', default=None, type=int,
                         help='resume from this epoch checkpoint')
+    parser.add_argument('--bf16', action='store_true',
+                        help='run testing/eval forwards in bfloat16 (TPU '
+                             'serving precision, ~3x throughput; default '
+                             'fp32 keeps masks bit-comparable)')
     parser.add_argument('--visualize-results', action='store_true',
                         help='additionally write prediction-overlay PNGs '
                              'next to the masks (headless equivalent of the '

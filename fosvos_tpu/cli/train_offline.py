@@ -93,7 +93,8 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                               eval_speeds=settings.eval_speeds,
                               batch_size=settings.batch_size_test,
                               is_visualizing_results=(
-                                  settings.is_visualizing_results))
+                                  settings.is_visualizing_results),
+                              bf16=getattr(settings, 'bf16', False))
         log.info('Test finished: %d images in %.2fs',
                  out['n_images'], out['total_time_s'])
 
@@ -188,6 +189,7 @@ def main(argv=None):
         is_loading_vgg_caffe=False,
         variant_offline=args.variant_offline, eval_speeds=args.eval_speeds)
     settings.data_parallel = args.data_parallel
+    settings.bf16 = args.bf16
 
     provider_class = provider_mapping[('offline', args.network)]
     version = 34 if args.network == 'resnet34' else 18

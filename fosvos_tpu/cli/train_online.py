@@ -118,7 +118,7 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
              len(sequences), res.wall_time_s, mesh.size)
 
     engine = experiment.InferenceEngine(net_provider.model,
-                                        settings.batch_size_test)
+                                        settings.batch_size_test)  # fanout
     for k, seq in enumerate(sequences):
         net_provider.variables = jax.tree.map(
             lambda a: a[k], {'params': res.params,
@@ -205,8 +205,9 @@ def main(argv=None):
         if engine is None:
             if net_provider.model is None:
                 net_provider.load_network_train()
-            engine = experiment.InferenceEngine(net_provider.model,
-                                                settings.batch_size_test)
+            engine = experiment.InferenceEngine(
+                net_provider.model, settings.batch_size_test,
+                bf16=getattr(args, 'bf16', False))
         train_and_test(net_provider, tuner, seq, settings, db_root_dir,
                        save_dir_models, save_dir_results, engine=engine)
 

@@ -57,25 +57,41 @@ class InferenceEngine:
 
     Accepts raw uint8 BGR frames (preferred: 4x less H2D traffic, mean
     subtraction fused on device) or host-preprocessed float32.
+
+    ``bf16=True`` runs the trunk at the TPU serving precision (~3x
+    throughput); the default fp32 keeps masks bit-comparable with the
+    reference pipeline. Sigmoid/quantization always run in fp32.
     """
 
-    def __init__(self, model, batch_size: int = 4, mean=DAVIS_MEAN_BGR):
+    def __init__(self, model, batch_size: int = 4, mean=DAVIS_MEAN_BGR,
+                 bf16: bool = False):
         self.model = model
         self.batch_size = batch_size
         self.mean = tuple(mean)
+        self.bf16 = bf16
+
+        def cast_in(variables, images):
+            images = device_preprocess(images, self.mean)
+            if bf16:
+                images = images.astype(jnp.bfloat16)
+                variables = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, variables)
+            return variables, images
 
         @jax.jit
         def forward_masks(variables, images):
-            images = device_preprocess(images, self.mean)
+            variables, images = cast_in(variables, images)
             outs = model.apply(variables, images, train=False)
-            prob = jax.nn.sigmoid(outs[-1][..., 0])
+            prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
             # reference saves the sigmoid map as PNG (experiment_helper.py:57,64)
             return jnp.round(prob * 255.0).astype(jnp.uint8)
 
         @jax.jit
         def forward_logits(variables, images):
-            images = device_preprocess(images, self.mean)
-            return model.apply(variables, images, train=False)[-1]
+            variables, images = cast_in(variables, images)
+            return model.apply(variables, images,
+                               train=False)[-1].astype(jnp.float32)
 
         self._forward_masks = forward_masks
         self._forward_logits = forward_logits
@@ -153,7 +169,7 @@ def write_overlay_png(path: str, frame_bgr_u8: np.ndarray,
 def test(model, variables, dataset: DAVIS2016, save_dir: str,
          seq_name: Optional[str] = None, eval_speeds: bool = False,
          batch_size: int = 4, engine: Optional[InferenceEngine] = None,
-         is_visualizing_results: bool = False
+         is_visualizing_results: bool = False, bf16: bool = False
          ) -> Dict[str, object]:
     """Run inference over sequences and write masks (reference ``test()``).
 
@@ -162,7 +178,7 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
     renders additionally go to ``<save_dir>/<seq>/overlays/``.
     """
     engine = engine or InferenceEngine(model, batch_size,
-                                       mean=dataset.meanval)
+                                       mean=dataset.meanval, bf16=bf16)
     results: Dict[str, object] = {}
     seqs = [seq_name] if seq_name else dataset.sequence_names
     # uint8 ingest only when the engine's on-device mean matches the dataset

@@ -145,3 +145,23 @@ def test_visualize_results_writes_overlays(db, tmp_path):
     assert len(overlays) == 4
     im = cv2.imread(str(overlays[0]))
     assert im is not None and im.shape == (32, 48, 3)
+
+
+def test_bf16_engine_masks_close_to_fp32(db):
+    """bf16 serving precision: masks agree with fp32 within quantization
+    tolerance (thresholded masks are insensitive; exact parity is the fp32
+    default's job)."""
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+    m32 = experiment.InferenceEngine(model, 2).masks_for_sequence(
+        variables, imgs)
+    m16 = experiment.InferenceEngine(model, 2, bf16=True).masks_for_sequence(
+        variables, imgs)
+    # uint8 probability maps: allow small quantization differences
+    assert np.mean(np.abs(m16.astype(int) - m32.astype(int))) < 8
+    # thresholded masks nearly identical
+    agree = np.mean((m16 >= 128) == (m32 >= 128))
+    assert agree > 0.99
