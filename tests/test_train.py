@@ -71,6 +71,95 @@ def test_online_finetuner_augmented_reuse_across_sequences(db, tiny_model):
         assert np.isfinite(res.losses).all()
 
 
+def test_window_batch_matches_sequential_microsteps(db, tiny_model):
+    """The batched accumulation window must equal 5 sequential MultiSteps
+    micro-steps with the same flip draws: same updated params, same
+    compounded BN running stats, same per-micro-step loss log."""
+    import optax
+    from fosvos_tpu.data import transforms
+    from fosvos_tpu.train.losses import online_loss
+
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+    # SGD preset: the param update is linear in the mean gradient, so the
+    # comparison checks gradient equivalence directly. (Adam would amplify
+    # reduction-order noise on near-cancelling gradients to +-lr via sign.)
+    preset = optimizers.online_variant(2)
+    seed, n_acc = 3, 5
+
+    tuner = online.OnlineFinetuner(model, preset, avg_grad_every_n=n_acc,
+                                   window_batch=True)
+    res = tuner.finetune(variables, img, gt, n_epochs=n_acc, seed=seed,
+                         augment=False)
+
+    # replicate the batched path's flip draws from its PRNG stream
+    key = jax.random.PRNGKey(seed)
+    _, k_flip = jax.random.split(key)
+    flips = np.asarray(jax.random.bernoulli(k_flip, shape=(n_acc,)))
+
+    # hand-rolled sequential reference: MultiSteps over the same 5 flips
+    base = optimizers.make_optimizer(preset, variables['params'])
+    ms = optax.MultiSteps(base, every_k_schedule=n_acc)
+    p, bs = variables['params'], variables['batch_stats']
+    opt_state = ms.init(p)
+    seq_losses = []
+    for i in range(n_acc):
+        imgs, g = transforms.device_flip(jnp.asarray(img[None]),
+                                         jnp.asarray(gt[None, ..., None]),
+                                         int(flips[i]))
+
+        def loss_fn(pp):
+            outs, mut = model.apply({'params': pp, 'batch_stats': bs}, imgs,
+                                    train=True, mutable=['batch_stats'])
+            return online_loss(outs, g), mut['batch_stats']
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, opt_state = ms.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        bs = new_bs
+        seq_losses.append(float(loss))
+
+    np.testing.assert_allclose(res.losses, seq_losses, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        res.state.params, p)
+    # running stats: unbiased-var factor differs (2HW vs HW samples) — tiny
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
+        res.state.batch_stats, bs)
+
+
+def test_window_batch_partial_window_is_forward_only(db, tiny_model):
+    """Trailing n_epochs % n_acc micro-steps never reach an optimizer step
+    (MultiSteps semantics): params after 7 epochs == params after 5, but the
+    loss log still has 7 entries and BN stats advanced."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+    tuner = online.OnlineFinetuner(model, optimizers.online_variant(11),
+                                   avg_grad_every_n=5)
+    r5 = tuner.finetune(variables, img, gt, n_epochs=5, seed=0, augment=False)
+    r7 = tuner.finetune(variables, img, gt, n_epochs=7, seed=0, augment=False)
+    assert r7.losses.shape == (7,)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), r5.state.params, r7.state.params)
+    assert not np.allclose(
+        np.asarray(r5.state.batch_stats['base_bn']['mean']),
+        np.asarray(r7.state.batch_stats['base_bn']['mean']))
+
+
+def test_online_sequential_mode_still_available(db, tiny_model):
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-goat')
+    img, gt = ds.make_img_gt_pair(0)
+    tuner = online.OnlineFinetuner(model, optimizers.online_variant(11),
+                                   avg_grad_every_n=5, window_batch=False)
+    res = tuner.finetune(variables, img, gt, n_epochs=10, seed=0)
+    assert res.losses.shape == (10,)
+    assert np.isfinite(res.losses).all()
+
+
 def test_offline_training_decreases_loss(db, tiny_model):
     model, variables = tiny_model
     ds = davis.DAVIS2016(mode='train', db_root_dir=db)
