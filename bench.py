@@ -24,6 +24,10 @@ import time
 
 import numpy as np
 
+from fosvos_tpu.runtime.device import enable_compilation_cache
+
+enable_compilation_cache()
+
 # reference measurements (visualizations.ipynb cell 3), fps = 1/s_per_frame
 BASELINE_FPS = {
     'vgg16': 1.0 / 0.08083,      # ~12.4

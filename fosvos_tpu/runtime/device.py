@@ -47,6 +47,27 @@ def default_device(device: jax.Device):
     return jax.default_device(device)
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: fresh processes skip recompiles
+    (multi-minute for 480p graphs on slow-compile backends). Keyed on the
+    HLO, so stale entries are impossible. Opt out with FOSVOS_XLA_CACHE=0,
+    or point FOSVOS_XLA_CACHE (or ``path``) at a directory."""
+    import os
+    setting = os.environ.get('FOSVOS_XLA_CACHE', '')
+    if setting == '0':
+        return
+    path = path or setting or os.path.join(
+        os.path.expanduser('~'), '.cache', 'fosvos_tpu', 'xla-cache')
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        # cache every program regardless of compile time or size
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    except (OSError, AttributeError):
+        pass  # the cache is an optimization; never block on it
+
+
 def enable_nan_debugging(enabled: bool = True) -> None:
     """NaN checking for every jitted computation (SURVEY.md §5: the
     framework's sanitizer knob — the reference has none)."""
