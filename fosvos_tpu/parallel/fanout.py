@@ -263,26 +263,29 @@ class SequenceFanout:
         carry = (params_s, stats_s, opt_state, keys_s)
 
         t0 = time.perf_counter()
-        all_losses: List[np.ndarray] = []
+        all_losses: List[jax.Array] = []
         for scale, n in schedule:
             ims, gs = scale_pairs[scale]
             if self.window_batch:
                 n_w, r = divmod(n, self.avg_grad_every_n)
                 if n_w:
                     carry, losses = self._run_windows(carry, ims, gs, n_w)
-                    all_losses.append(np.asarray(losses).T)
+                    all_losses.append(losses)
                 if r:
                     carry, losses = self._run_partial(carry, ims, gs, r)
-                    all_losses.append(np.asarray(losses).T)
+                    all_losses.append(losses)
             else:
                 carry, losses = self._run_chunk(carry, ims, gs, n)
-                all_losses.append(np.asarray(losses).T)   # -> (n_steps, S)
-        jax.block_until_ready(carry)
+                all_losses.append(losses)            # (S_local->S, n_steps)
+        # one device-side concat + ONE host readback; doubles as the
+        # completion fence (block_until_ready is unreliable on the tunneled
+        # backend; reading the last program's output is not)
+        losses_np = np.asarray(jnp.concatenate(all_losses, axis=1)).T
         wall = time.perf_counter() - t0
 
         params_s, stats_s, _, _ = carry
         unpad = lambda t: jax.tree.map(lambda a: a[:S], t)
         return FanoutResult(params=unpad(params_s),
                             batch_stats=unpad(stats_s),
-                            losses=np.concatenate(all_losses)[:, :S],
+                            losses=losses_np[:, :S],
                             wall_time_s=wall)

@@ -277,7 +277,7 @@ class OnlineFinetuner:
                  jax.random.PRNGKey(seed))
 
         t0 = time.perf_counter()
-        all_losses: List[np.ndarray] = []
+        all_losses: List[jax.Array] = []
         for scale, n in schedule:
             images, gts = pairs[scale]
             if self.window_batch:
@@ -291,16 +291,19 @@ class OnlineFinetuner:
             else:
                 carry, losses = self._run_chunk(carry, images, gts, n)
                 all_losses.append(losses)
-        jax.block_until_ready(carry)
+        # one device-side concat + ONE host readback: per-chunk np.asarray
+        # would be ~200 small D2H round trips (~9 s behind the tunnel), and
+        # the readback doubles as the completion fence (block_until_ready
+        # does not reliably block on the tunneled backend — the readback of
+        # the last program's output does, since programs execute in order)
+        losses_np = np.asarray(jnp.concatenate(all_losses))
         wall = time.perf_counter() - t0
 
         params, batch_stats, opt_state, _ = carry
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state,
                            step=jnp.asarray(n_epochs, jnp.int32))
-        return OnlineResult(state=state,
-                            losses=np.concatenate(
-                                [np.asarray(l) for l in all_losses]),
+        return OnlineResult(state=state, losses=losses_np,
                             wall_time_s=wall, n_steps=n_epochs)
 
 

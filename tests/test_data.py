@@ -124,6 +124,20 @@ def test_scale_schedule_small_budget_sees_every_scale():
     assert {s for s, _ in schedule} == set(transforms.TRAIN_SCALES)
 
 
+def test_scale_schedule_window_alignment():
+    """With align=n_acc (batched-window mode), every chunk is a multiple of
+    the accumulation window except at most one trailing remainder chunk."""
+    for n_steps in (10000, 1003, 24, 7, 5, 3):
+        rng = np.random.RandomState(1)
+        schedule = transforms.scale_schedule(n_steps, rng, align=5)
+        assert sum(n for _, n in schedule) == n_steps
+        sizes = [n for _, n in schedule]
+        assert all(n % 5 == 0 for n in sizes[:-1])
+        # partial windows only at the very end
+        if sizes[-1] % 5:
+            assert sizes[-1] == n_steps % 5 or n_steps < 5
+
+
 def test_device_flip():
     import jax.numpy as jnp
     img = jnp.arange(24, dtype=jnp.float32).reshape(1, 2, 4, 3)

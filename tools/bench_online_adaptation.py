@@ -17,14 +17,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+from fosvos_tpu.runtime.device import enable_compilation_cache
 
-from fosvos_tpu.models import make_resnet
+enable_compilation_cache()
+
+from fosvos_tpu.models import OSVOSVGG, make_resnet
 from fosvos_tpu.train import online, optimizers
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument('--network', default='resnet18',
+                    choices=['resnet18', 'vgg16'])
     ap.add_argument('--n-epochs', type=int, default=10000)
     ap.add_argument('--sequential', action='store_true')
     ap.add_argument('--dtype', default='fp32', choices=['fp32', 'bf16'])
@@ -32,8 +36,15 @@ def main():
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else None
-    model = make_resnet(18, dtype=dtype)
-    variables = make_resnet(18).init(
+    if args.network == 'vgg16':
+        model = OSVOSVGG(dtype=dtype)
+        init_model = OSVOSVGG()
+        preset = optimizers.vgg_online_preset()
+    else:
+        model = make_resnet(18, dtype=dtype)
+        init_model = make_resnet(18)
+        preset = optimizers.online_variant(11)
+    variables = init_model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32),
         train=False)
     variables = jax.device_put(variables)
@@ -43,8 +54,7 @@ def main():
     gt = np.zeros((480, 854), np.float32)
     gt[100:300, 200:500] = 1.0
 
-    tuner = online.OnlineFinetuner(model, optimizers.online_variant(11),
-                                   avg_grad_every_n=5,
+    tuner = online.OnlineFinetuner(model, preset, avg_grad_every_n=5,
                                    window_batch=not args.sequential)
     mode = 'sequential' if args.sequential else 'window-batched'
     for i in range(args.repeats):
