@@ -121,15 +121,20 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
     state = trainer.init_state(net_provider.variables)
     rng = np.random.RandomState(0)
     global_batch = settings.batch_size_train * mesh.size
+    import jax.numpy as jnp
     for epoch in range(settings.start_epoch, settings.n_epochs):
         t0 = time.perf_counter()
-        sums, n = np.zeros(5), 0
+        # device-resident loss log, ONE readback/fence per epoch (same
+        # rationale as train_offline: no per-step D2H round trips)
+        epoch_losses = []
         for batch in offline.iterate_raw_batches(db_train, global_batch, rng):
             state, losses = trainer.train_step(state, batch['image'],
                                                batch['gt'],
                                                epoch / settings.n_epochs)
-            sums += np.asarray(losses)
-            n += 1
+            epoch_losses.append(losses)
+        n = len(epoch_losses)
+        sums = (np.asarray(jnp.stack(epoch_losses)).sum(axis=0) if n
+                else np.zeros(5))
         log_epoch(offline.EpochStats(epoch=epoch,
                                      mean_losses=sums / max(n, 1),
                                      wall_time_s=time.perf_counter() - t0))

@@ -211,15 +211,22 @@ def train_offline(model, variables, dataset: DAVIS2016,
     rng = np.random.RandomState(seed)
     batches_fn = iterate_raw_batches if device_preprocess else iterate_batches
 
+    import jax.numpy as jnp
+
     for epoch in range(start_epoch, n_epochs):
         t0 = time.perf_counter()
-        sums = np.zeros(5)
-        n = 0
+        # losses stay on device during the epoch: a per-step np.asarray would
+        # add a D2H round trip per step (and stall dispatch pipelining behind
+        # a high-latency link); ONE stacked readback per epoch also fences
+        # the epoch for an honest wall_time_s
+        epoch_losses = []
         for batch in batches_fn(dataset, batch_size, rng, augment):
             state, losses = trainer.train_step(
                 state, batch['image'], batch['gt'], epoch / n_epochs)
-            sums += np.asarray(losses)
-            n += 1
+            epoch_losses.append(losses)
+        n = len(epoch_losses)
+        sums = (np.asarray(jnp.stack(epoch_losses)).sum(axis=0)
+                if n else np.zeros(5))
         stats = EpochStats(epoch=epoch, mean_losses=sums / max(n, 1),
                            wall_time_s=time.perf_counter() - t0)
         if log_fn is not None:
@@ -233,13 +240,12 @@ def train_offline(model, variables, dataset: DAVIS2016,
         if test_dataset is not None and \
                 epoch % test_every_n == test_every_n - 1:
             t1 = time.perf_counter()
-            tsums, tn = np.zeros(5), 0
-            for i in range(len(test_dataset)):
-                img, gt = test_dataset.make_img_gt_pair(i)
-                losses = trainer.eval_step(state, img[None],
-                                           gt[None, ..., None])
-                tsums += np.asarray(losses)
-                tn += 1
+            tlosses = [trainer.eval_step(state, img[None], gt[None, ..., None])
+                       for img, gt in (test_dataset.make_img_gt_pair(i)
+                                       for i in range(len(test_dataset)))]
+            tn = len(tlosses)
+            tsums = (np.asarray(jnp.stack(tlosses)).sum(axis=0)
+                     if tn else np.zeros(5))
             tstats = EpochStats(epoch=epoch, mean_losses=tsums / max(tn, 1),
                                 wall_time_s=time.perf_counter() - t1)
             if test_log_fn is not None:
