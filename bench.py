@@ -135,9 +135,12 @@ def _bench_online_adaptation():
     at its own published forward speed (10.67 ms/frame, visualizations.ipynb
     cell 3) the forwards ALONE cost 106.7 s, so that is used as a conservative
     lower bound for vs_baseline.
+
+    tools/bench_online_adaptation.py is the interactive variant of this
+    measurement (per-run prints, --sequential / --network / --dtype knobs);
+    keep the workload definitions in sync.
     """
     import jax
-    import jax.numpy as jnp
     from fosvos_tpu.models import make_resnet
     from fosvos_tpu.train import online, optimizers
 

@@ -121,23 +121,17 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
     state = trainer.init_state(net_provider.variables)
     rng = np.random.RandomState(0)
     global_batch = settings.batch_size_train * mesh.size
-    import jax.numpy as jnp
     for epoch in range(settings.start_epoch, settings.n_epochs):
         t0 = time.perf_counter()
-        # device-resident loss log, ONE readback/fence per epoch (same
-        # rationale as train_offline: no per-step D2H round trips)
         epoch_losses = []
         for batch in offline.iterate_raw_batches(db_train, global_batch, rng):
             state, losses = trainer.train_step(state, batch['image'],
                                                batch['gt'],
                                                epoch / settings.n_epochs)
             epoch_losses.append(losses)
-        n = len(epoch_losses)
-        sums = (np.asarray(jnp.stack(epoch_losses)).sum(axis=0) if n
-                else np.zeros(5))
-        log_epoch(offline.EpochStats(epoch=epoch,
-                                     mean_losses=sums / max(n, 1),
-                                     wall_time_s=time.perf_counter() - t0))
+        log_epoch(offline.EpochStats(
+            epoch=epoch, mean_losses=offline.mean_epoch_losses(epoch_losses),
+            wall_time_s=time.perf_counter() - t0))
         if epoch % settings.snapshot_every_n == settings.snapshot_every_n - 1 \
                 and epoch != 0:
             snapshot(epoch, state)
@@ -147,7 +141,7 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
         # repeating its final frame — a monitoring signal, not a metric)
         if test_db is not None and \
                 epoch % settings.test_every_n == settings.test_every_n - 1:
-            tsums, tn = np.zeros(5), 0
+            tlosses = []
             for c0 in range(0, len(test_db), mesh.size):
                 pairs = [test_db.make_raw_pair(i)
                          for i in range(c0, min(c0 + mesh.size,
@@ -158,12 +152,11 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
                 if pad:
                     imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
                     gts = np.concatenate([gts, gts[-1:].repeat(pad, 0)])
-                losses = trainer.eval_step(state, imgs, gts)
-                tsums += np.asarray(losses)
-                tn += 1
+                tlosses.append(trainer.eval_step(state, imgs, gts))
             if log_test is not None:
                 log_test(offline.EpochStats(
-                    epoch=epoch, mean_losses=tsums / max(tn, 1),
+                    epoch=epoch,
+                    mean_losses=offline.mean_epoch_losses(tlosses),
                     wall_time_s=0.0))
     return state
 

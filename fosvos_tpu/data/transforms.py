@@ -146,18 +146,25 @@ def scale_schedule(n_steps: int, rng: np.random.RandomState,
     Returns a list of (scale, n_chunk_steps) with sum(n) == n_steps.
     """
     k = len(scales)
-    # small budgets still see every scale: shrink chunks so >= k chunks exist
+    # small budgets still see every scale: shrink chunks so >= k chunks
+    # exist (with align > 1 chunks cannot shrink below one accumulation
+    # window, so a budget under k*align covers only the first ceil(n/align)
+    # scales of the cycle — which starts at the NATIVE scale, so the
+    # full-resolution frame is always trained first)
     chunk_steps = max(1, min(chunk_steps, n_steps // k))
     if align > 1:
         chunk_steps = max(align, chunk_steps - chunk_steps % align)
     n_chunks, rem = divmod(n_steps, chunk_steps)
     sizes = [chunk_steps] * n_chunks
+    # cycle scales native-resolution-first (reversed declaration order);
+    # shares stay equal to within one chunk for any budget
+    cycle = lambda i: scales[(k - 1 - i) % k]
     tail = []
     if rem:
         if align > 1:
-            tail = [(scales[n_chunks % k], rem)]
+            tail = [(cycle(n_chunks), rem)]
         else:
             sizes.append(rem)
-    out = [(scales[i % k], n) for i, n in enumerate(sizes)]
+    out = [(cycle(i), n) for i, n in enumerate(sizes)]
     rng.shuffle(out)
     return out + tail

@@ -22,6 +22,12 @@ from fosvos_tpu.core import ops
 conv_init = nn.initializers.normal(stddev=0.001)
 
 
+# torch's BatchNorm2d default momentum; the single source of truth for the
+# whole model zoo (train.online.window_step_fns replays running-stat EMAs
+# from one-update results and must agree with this value)
+BN_MOMENTUM = 0.1
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm2d with torch semantics.
 
@@ -30,7 +36,7 @@ class TorchBatchNorm(nn.Module):
     updates use the *unbiased* estimator — flax's BatchNorm updates with the
     biased one, so we implement it directly.
     """
-    momentum: float = 0.1
+    momentum: float = BN_MOMENTUM
     eps: float = 1e-5
 
     @nn.compact

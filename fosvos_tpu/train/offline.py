@@ -185,6 +185,16 @@ class EpochStats:
     wall_time_s: float
 
 
+def mean_epoch_losses(epoch_losses) -> np.ndarray:
+    """Mean per-output losses from a list of device-resident (5,) loss
+    vectors: ONE stacked readback (which also fences the epoch — no
+    per-step D2H round trips behind a high-latency link)."""
+    import jax.numpy as jnp
+    if not epoch_losses:
+        return np.zeros(5)
+    return np.asarray(jnp.stack(epoch_losses)).mean(axis=0)
+
+
 def train_offline(model, variables, dataset: DAVIS2016,
                   preset: Optional[optimizers.Preset] = None,
                   n_epochs: int = 240, start_epoch: int = 0,
@@ -211,23 +221,15 @@ def train_offline(model, variables, dataset: DAVIS2016,
     rng = np.random.RandomState(seed)
     batches_fn = iterate_raw_batches if device_preprocess else iterate_batches
 
-    import jax.numpy as jnp
-
     for epoch in range(start_epoch, n_epochs):
         t0 = time.perf_counter()
-        # losses stay on device during the epoch: a per-step np.asarray would
-        # add a D2H round trip per step (and stall dispatch pipelining behind
-        # a high-latency link); ONE stacked readback per epoch also fences
-        # the epoch for an honest wall_time_s
         epoch_losses = []
         for batch in batches_fn(dataset, batch_size, rng, augment):
             state, losses = trainer.train_step(
                 state, batch['image'], batch['gt'], epoch / n_epochs)
             epoch_losses.append(losses)
-        n = len(epoch_losses)
-        sums = (np.asarray(jnp.stack(epoch_losses)).sum(axis=0)
-                if n else np.zeros(5))
-        stats = EpochStats(epoch=epoch, mean_losses=sums / max(n, 1),
+        stats = EpochStats(epoch=epoch,
+                           mean_losses=mean_epoch_losses(epoch_losses),
                            wall_time_s=time.perf_counter() - t0)
         if log_fn is not None:
             log_fn(stats)
@@ -243,10 +245,8 @@ def train_offline(model, variables, dataset: DAVIS2016,
             tlosses = [trainer.eval_step(state, img[None], gt[None, ..., None])
                        for img, gt in (test_dataset.make_img_gt_pair(i)
                                        for i in range(len(test_dataset)))]
-            tn = len(tlosses)
-            tsums = (np.asarray(jnp.stack(tlosses)).sum(axis=0)
-                     if tn else np.zeros(5))
-            tstats = EpochStats(epoch=epoch, mean_losses=tsums / max(tn, 1),
+            tstats = EpochStats(epoch=epoch,
+                                mean_losses=mean_epoch_losses(tlosses),
                                 wall_time_s=time.perf_counter() - t1)
             if test_log_fn is not None:
                 test_log_fn(tstats)

@@ -81,22 +81,34 @@ class OnlineResult:
     n_steps: int
 
 
-def window_step_fns(model, optimizer, n_acc: int, bn_momentum: float = 0.1):
+def window_step_fns(model, optimizer, n_acc: int,
+                    bn_momentum: Optional[float] = None):
     """Build the batched-accumulation-window step (and its trailing-partial
     variant) shared by :class:`OnlineFinetuner` and the sequence fan-out.
 
     The {orig, flipped} pair is ``vmap``-ed over the model, so each sample
-    computes its OWN batch-1 BN statistics — bit-for-bit the micro-step
+    computes its OWN batch-1 BN statistics — exactly the micro-step
     semantics (pooled batch-2 stats would differ: a conv of the flipped
     input is not a permutation of the original's features). XLA still
-    batches the convolutions across the pair.
+    batches the convolutions across the pair. The math is identical to the
+    sequential loop; only float reduction order differs (parity-tested at
+    rtol ~1e-4 on params; running stats ~2e-3 because the EMA replay
+    reconstructs batch stats as ``old + (new-old)/momentum`` — a 10x
+    amplification of one update's rounding).
 
     Both returned functions map
     ``carry=(params, batch_stats, opt_state, key), x2 (2,H,W,3), g2 (2,H,W,1)``
     to ``(carry, per_micro_step_losses)``; ``partial_step`` additionally takes
     the static remainder length r and applies no optimizer update (MultiSteps
     semantics for trailing micro-steps).
+
+    ``bn_momentum`` must match the model's BatchNorm momentum (the EMA
+    replay divides by it); defaults to the zoo-wide
+    :data:`fosvos_tpu.models.common.BN_MOMENTUM`.
     """
+    if bn_momentum is None:
+        from fosvos_tpu.models.common import BN_MOMENTUM
+        bn_momentum = BN_MOMENTUM
 
     def window_loss(pp, batch_stats, x2, g2, wts):
         def single(x1, g1):

@@ -124,7 +124,11 @@ def test_window_batch_matches_sequential_microsteps(db, tiny_model):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         res.state.params, p)
-    # running stats: unbiased-var factor differs (2HW vs HW samples) — tiny
+    # running stats: the window's EMA replay reconstructs batch stats as
+    # old + (new-old)/momentum, a 10x amplification of one update's
+    # rounding — hence the looser tolerance (each vmapped sample reduces
+    # over exactly HW elements, same as sequential, so the unbiased-var
+    # factor is identical)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
         res.state.batch_stats, bs)

@@ -57,12 +57,15 @@ def main():
                           avg_grad_every_n=10, augment=not args.no_augment,
                           seed=0, snapshot_every_n=10 ** 9,
                           log_fn=stats.append)
-    n_steps = -(-args.n_frames // args.batch_size)
+    # iterate_raw_batches yields only full batches (trailing partial is
+    # dropped), so steps/frames use floor
+    n_steps = args.n_frames // args.batch_size
+    n_trained = n_steps * args.batch_size
     for s in stats:
         tag = ' (incl. compiles)' if s.epoch == 0 else ''
         print(f'epoch {s.epoch}: {s.wall_time_s:6.2f} s '
               f'= {s.wall_time_s / n_steps * 1e3:6.1f} ms/step, '
-              f'{args.n_frames / s.wall_time_s:5.1f} frames/s{tag}')
+              f'{n_trained / s.wall_time_s:5.1f} frames/s{tag}')
 
 
 if __name__ == '__main__':

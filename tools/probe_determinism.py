@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+from fosvos_tpu.runtime.device import enable_compilation_cache
+
+enable_compilation_cache()
 
 from fosvos_tpu.models import make_resnet
 from fosvos_tpu.train import optimizers

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+from fosvos_tpu.runtime.device import enable_compilation_cache
+
+enable_compilation_cache()
 
 from fosvos_tpu.data import transforms
 from fosvos_tpu.models import make_resnet
