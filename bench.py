@@ -168,6 +168,12 @@ def main():
          'vgg16', 10),
         ('vgg16_480p_throughput_fps_b64', _build_vgg, 64, 'bf16',
          'vgg16', 5),
+        # serving batches above the b64 knee (measured: resnet18 ~3000 fps
+        # at b128/b256 vs ~2000 at b64; vgg16 +27% at b128)
+        ('vgg16_480p_throughput_fps_b128', _build_vgg, 128, 'bf16',
+         'vgg16', 5),
+        ('resnet18_480p_throughput_fps_b128', lambda: _build_resnet(18),
+         128, 'bf16', 'resnet18', 10),
         ('resnet34_480p_throughput_fps_b64', lambda: _build_resnet(34),
          64, 'bf16', 'resnet34', 10),
         ('resnet18_pruned50_480p_throughput_fps_b64', _build_pruned50,
