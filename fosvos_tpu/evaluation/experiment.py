@@ -21,6 +21,7 @@ TPU-native deltas:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -61,14 +62,43 @@ class InferenceEngine:
     ``bf16=True`` runs the trunk at the TPU serving precision (~3x
     throughput); the default fp32 keeps masks bit-comparable with the
     reference pipeline. Sigmoid/quantization always run in fp32.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip inference.
+    The frame batch is sharded over a ``data`` axis and/or the image
+    HEIGHT over a ``spatial`` axis (params replicated); GSPMD inserts the
+    conv halo exchanges. Spatial partitioning is the per-frame *latency*
+    lever — it splits each 480p frame's convolutions across chips, which
+    batching cannot do — and produces masks identical to the single-chip
+    path (tested on the virtual mesh). With a ``data`` axis,
+    ``batch_size`` must divide by the axis size.
     """
 
     def __init__(self, model, batch_size: int = 4, mean=DAVIS_MEAN_BGR,
-                 bf16: bool = False):
+                 bf16: bool = False, mesh=None):
         self.model = model
         self.batch_size = batch_size
         self.mean = tuple(mean)
         self.bf16 = bf16
+        self.mesh = mesh
+
+        self._img_sharding = None
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_ax = 'data' if 'data' in mesh.axis_names else None
+            spatial_ax = 'spatial' if 'spatial' in mesh.axis_names else None
+            if data_ax is None and spatial_ax is None:
+                raise ValueError(
+                    "inference mesh needs a 'data' and/or 'spatial' axis")
+            if data_ax is not None and batch_size % mesh.shape[data_ax]:
+                raise ValueError(
+                    f'batch_size {batch_size} must divide by the data axis '
+                    f"size {mesh.shape[data_ax]}")
+            self._img_sharding = NamedSharding(mesh, P(data_ax, spatial_ax))
+            replicated = NamedSharding(mesh, P())
+            jit_kwargs = dict(
+                in_shardings=(replicated, self._img_sharding),
+                out_shardings=self._img_sharding)
 
         def cast_in(variables, images):
             images = device_preprocess(images, self.mean)
@@ -79,7 +109,7 @@ class InferenceEngine:
                     if a.dtype == jnp.float32 else a, variables)
             return variables, images
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kwargs)
         def forward_masks(variables, images):
             variables, images = cast_in(variables, images)
             outs = model.apply(variables, images, train=False)
@@ -87,7 +117,7 @@ class InferenceEngine:
             # reference saves the sigmoid map as PNG (experiment_helper.py:57,64)
             return jnp.round(prob * 255.0).astype(jnp.uint8)
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kwargs)
         def forward_logits(variables, images):
             variables, images = cast_in(variables, images)
             return model.apply(variables, images,
@@ -95,6 +125,11 @@ class InferenceEngine:
 
         self._forward_masks = forward_masks
         self._forward_logits = forward_logits
+
+    def _put(self, batch: np.ndarray) -> jax.Array:
+        if self._img_sharding is not None:
+            return jax.device_put(jnp.asarray(batch), self._img_sharding)
+        return jnp.asarray(batch)
 
     def masks_for_sequence(self, variables, images: np.ndarray) -> np.ndarray:
         """uint8 (T,H,W) probability masks for a dense frame stack.
@@ -107,7 +142,7 @@ class InferenceEngine:
         pad = (-t) % bs
         if pad:
             images = np.concatenate([images, images[-1:].repeat(pad, 0)])
-        futures = [self._forward_masks(variables, jnp.asarray(images[i:i + bs]))
+        futures = [self._forward_masks(variables, self._put(images[i:i + bs]))
                    for i in range(0, images.shape[0], bs)]
         chunks = [np.asarray(f) for f in futures]
         return np.concatenate(chunks)[:t]
@@ -124,7 +159,7 @@ class InferenceEngine:
         images = images[:t]
         if images.shape[0] < bs:
             images = np.concatenate([images] * bs)[:bs]
-        batches = [jnp.asarray(images[i:i + bs])
+        batches = [self._put(images[i:i + bs])
                    for i in range(0, images.shape[0], bs)]
         r = None
         for b in batches:  # warmup pass, discarded like the reference

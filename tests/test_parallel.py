@@ -280,3 +280,35 @@ def test_dp_cli_with_test_while_training(db, tiny, tmp_path, monkeypatch):
     assert checkpoint.exists('models', 'resnet18_11_epoch-1')
     assert len(test_losses) == 2          # test pass ran every epoch
     assert np.isfinite(np.stack(test_losses)).all()
+
+
+def test_spatial_sharded_inference_matches_single_device(db, tiny):
+    """Mesh-sharded InferenceEngine (batch over 'data', height over
+    'spatial' with GSPMD halo exchange) must produce the single-device
+    masks exactly."""
+    from fosvos_tpu.evaluation import experiment
+
+    model, variables = tiny
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    images, _, _ = ds.load_sequence(ds.sequence_names[0], raw=True)
+
+    single = experiment.InferenceEngine(model, batch_size=4,
+                                        mean=ds.meanval)
+    ref = single.masks_for_sequence(variables, images)
+
+    mesh = make_mesh(('data', 'spatial'), shape=(4, 2))
+    sharded = experiment.InferenceEngine(model, batch_size=4,
+                                         mean=ds.meanval, mesh=mesh)
+    out = sharded.masks_for_sequence(variables, images)
+    np.testing.assert_array_equal(out, ref)
+
+    # spatial-only mesh: the per-frame latency configuration
+    mesh_s = make_mesh(('spatial',))
+    lat = experiment.InferenceEngine(model, batch_size=1,
+                                     mean=ds.meanval, mesh=mesh_s)
+    out_lat = lat.masks_for_sequence(variables, images)
+    np.testing.assert_array_equal(out_lat, ref)
+
+    with pytest.raises(ValueError):
+        experiment.InferenceEngine(model, batch_size=3, mean=ds.meanval,
+                                   mesh=mesh)  # 3 % 4 != 0
