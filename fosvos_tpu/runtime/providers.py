@@ -90,9 +90,18 @@ class NetworkProvider:
                     import_torch.osvos_resnet_checkpoint_to_variables(sd, arch)
             self.variables = jax.tree.map(jnp.asarray, self.variables)
             return
-        stem = self._stem(epoch, sequence)
-        log.info('Loading weights from: %s/%s', self.save_dir, stem)
-        variables, arch_json = checkpoint.load(self.save_dir, stem)
+        if path:
+            # explicit checkpoint path/stem overrides the naming convention
+            # (e.g. cli/prune --model-path models/resnet18_11_epoch-240)
+            from pathlib import Path as _P
+            p = _P(str(path))
+            stem = p.name[:-4] if p.name.endswith('.npz') else p.name
+            load_dir = str(p.parent) if str(p.parent) else '.'
+        else:
+            stem = self._stem(epoch, sequence)
+            load_dir = self.save_dir
+        log.info('Loading weights from: %s/%s', load_dir, stem)
+        variables, arch_json = checkpoint.load(load_dir, stem)
         arch = (ResNetArch.from_json(arch_json)
                 if arch_json and self.network_kind != 'vgg' else None)
         self.init_network(arch)

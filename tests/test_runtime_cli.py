@@ -73,6 +73,29 @@ def test_provider_save_load_roundtrip(tmp_path):
     assert p2.model.arch.base_out == 4
 
 
+def test_provider_load_model_explicit_path(tmp_path):
+    """--model-path style loads: an explicit path (with or without .npz)
+    overrides the naming-convention stem (used by cli/prune)."""
+    settings = OnlineSettings(n_epochs=9)
+    p = ResNetOnlineProvider('resnet18', str(tmp_path), settings,
+                             variant_offline=11, variant_online=11)
+    p.init_network(resnet_arch(18, scale_down_exponent=4))
+    p.variables = jax.tree.map(jnp.asarray, p.variables)
+    path = p.save_model(240)
+
+    # different variants => different default stem; the path must win
+    p2 = ResNetOnlineProvider('resnet18', str(tmp_path), settings,
+                              variant_offline=0, variant_online=0)
+    p2.load_model(0, path=path)                       # with .npz suffix
+    np.testing.assert_array_equal(
+        np.asarray(p2.variables['params']['layer_fuse']['kernel']),
+        np.asarray(p.variables['params']['layer_fuse']['kernel']))
+    p3 = ResNetOnlineProvider('resnet18', str(tmp_path), settings,
+                              variant_offline=0, variant_online=0)
+    p3.load_model(0, path=path[:-len('.npz')])        # without suffix
+    assert p3.model.arch.base_out == 4
+
+
 def test_provider_migrates_reference_pth(tmp_path):
     """A reference-format .pth state_dict loads transparently."""
     import torch
