@@ -37,6 +37,9 @@ def main():
     ap.add_argument('--n-epochs', type=int, default=10000)
     ap.add_argument('--n-seqs', type=int, default=20)
     ap.add_argument('--no-masks', action='store_true')
+    ap.add_argument('--evaluate', action='store_true',
+                    help='score the written masks with the in-repo J&F '
+                         'evaluator and print dataset means')
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix='sweep_davis_')
@@ -78,6 +81,15 @@ def main():
           f'{total:.0f} s total = {total / 60:.1f} min '
           f'({train_s:.0f} s adapting, {masks_s:.0f} s writing masks, '
           f'{total - train_s - masks_s:.0f} s host-side)')
+
+    if args.evaluate and engine is not None:
+        from fosvos_tpu.cli.evaluate import evaluate_results
+        ev = evaluate_results(f'{root}/results', root)
+        d = ev.summary()
+        per_seq = [s.j.mean for s in ev.per_sequence.values()]
+        print(f"J_mean {d['J_mean']:.4f} (min {min(per_seq):.4f} over "
+              f"{len(per_seq)} seqs), J_recall {d['J_recall']:.4f}, "
+              f"F_mean {d['F_mean']:.4f}")
 
 
 if __name__ == '__main__':
