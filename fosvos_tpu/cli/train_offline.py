@@ -30,6 +30,13 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
 
     if settings.is_training:
         net_provider.load_network_train()
+        train_model = net_provider.model
+        if getattr(settings, 'bf16', False):
+            # bf16 activations, fp32 params/BN-stats/losses — measured 1.54x
+            # per-step on-chip at b16 480p (BENCHMARKS.md)
+            import jax.numpy as jnp
+            train_model = train_model.clone(dtype=jnp.bfloat16)
+            log.info('Training compute dtype: bfloat16 (params stay fp32)')
         db_train = DAVIS2016(mode='train', db_root_dir=str(db_root_dir))
         writer = (get_summary_writer(Path(save_dir_models) / 'tb-offline')
                   if use_tensorboard else NullWriter())
@@ -59,10 +66,11 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
         if getattr(settings, 'data_parallel', False):
             state = _train_data_parallel(net_provider, db_train, settings,
                                          log_epoch, snapshot,
-                                         test_db=test_db, log_test=log_test)
+                                         test_db=test_db, log_test=log_test,
+                                         model=train_model)
         else:
             state = offline.train_offline(
-                net_provider.model, net_provider.variables, db_train,
+                train_model, net_provider.variables, db_train,
                 preset=net_provider.get_preset(),
                 n_epochs=settings.n_epochs,
                 start_epoch=settings.start_epoch,
@@ -100,7 +108,7 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
 
 
 def _train_data_parallel(net_provider, db_train, settings, log_epoch,
-                         snapshot, test_db=None, log_test=None):
+                         snapshot, test_db=None, log_test=None, model=None):
     """Mesh data-parallel offline training over all devices
     (fosvos_tpu.parallel.data_parallel); the effective batch is
     batch_size_train * n_devices, sharded over the 'data' axis.
@@ -115,7 +123,8 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
 
     mesh = distributed.global_mesh(('data',))
     trainer = data_parallel.ShardedOfflineTrainer(
-        net_provider.model, mesh, net_provider.get_preset(),
+        model if model is not None else net_provider.model, mesh,
+        net_provider.get_preset(),
         settings.avg_grad_every_n, device_preprocess=True,
         meanval=db_train.meanval)
     state = trainer.init_state(net_provider.variables)

@@ -75,11 +75,16 @@ def test_offline_cli_end_to_end(db, tmp_path, monkeypatch):
 
     monkeypatch.setattr(providers.NetworkProvider, 'init_network', tiny_init)
 
+    # --bf16: offline training with bf16 activations (params/BN/losses fp32)
     cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
-                  '--db-root-dir', db])
+                  '--db-root-dir', db, '--bf16'])
 
     assert checkpoint.exists('models', 'resnet18_11_epoch-1')   # snapshot
     assert checkpoint.exists('models', 'resnet18_11_epoch-2')   # final
+    import numpy as np
+    saved, _ = checkpoint.load('models', 'resnet18_11_epoch-2')
+    leaf = jax.tree.leaves(saved['params'])[0]
+    assert np.asarray(leaf).dtype == np.float32   # params stayed fp32
     # testing phase wrote masks for both val sequences
     for seq in ('synth-swan', 'synth-goat'):
         pngs = list(Path(f'results/resnet18/11/offline/{seq}').glob('*.png'))
