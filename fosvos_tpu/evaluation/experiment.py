@@ -85,6 +85,8 @@ class InferenceEngine:
         jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from fosvos_tpu.parallel.mesh import pin_correct_partitioner
+            pin_correct_partitioner()  # Shardy grad bug — see mesh.py
             data_ax = 'data' if 'data' in mesh.axis_names else None
             spatial_ax = 'spatial' if 'spatial' in mesh.axis_names else None
             if data_ax is None and spatial_ax is None:

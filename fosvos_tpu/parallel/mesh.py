@@ -22,6 +22,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def pin_correct_partitioner() -> None:
+    """Force the classic GSPMD partitioner: jax 0.9.0's default (Shardy)
+    mis-reduces gradients of partially-replicated tensors.
+
+    Repro (tools/repro_shardy_grad_bug.py): on a ('data', 'spatial') mesh
+    with images sharded P(None, 'spatial') and the kernel replicated,
+    ``grad(conv(x, k).sum())(k)`` comes back exactly ``data_axis_size``
+    times too large under Shardy — the backward all-reduce runs over the
+    full mesh instead of only the sharded axis. Forward values are correct;
+    the classic partitioner computes the correct gradient (ratio 1.0).
+    This silently corrupted spatial-sharded *training* (data-only sharding
+    is unaffected); caught by the OnlineFinetuner(mesh=...) update-parity
+    test. Re-evaluate when jax's Shardy fix lands (their b/433785288).
+    """
+    try:
+        jax.config.update('jax_use_shardy_partitioner', False)
+    except AttributeError:  # flag removed => Shardy presumed fixed
+        pass
+
+
+pin_correct_partitioner()
+
+
 def make_mesh(axis_names: Sequence[str] = ('data',),
               shape: Optional[Sequence[int]] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

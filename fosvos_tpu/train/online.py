@@ -176,11 +176,26 @@ class OnlineFinetuner:
     def __init__(self, model, preset: Optional[optimizers.Preset] = None,
                  avg_grad_every_n: int = 5,
                  example_params: Optional[Any] = None,
-                 window_batch: bool = True):
+                 window_batch: bool = True,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` to cut ONE sequence's
+        adaptation latency across chips (the fan-out scales *throughput*
+        over sequences; this shards a single adaptation): the window's
+        {orig, flipped} pair over a ``data`` axis and/or the frame height
+        over a ``spatial`` axis — params replicated, GSPMD inserts the
+        gradient all-reduce and conv halo exchanges. Batched-window mode
+        only; a ``data`` axis size must divide 2."""
         self.model = model
         self.preset = preset or optimizers.online_variant(11)
         self.avg_grad_every_n = avg_grad_every_n
         self.window_batch = window_batch and avg_grad_every_n > 1
+        self.mesh = mesh
+        if mesh is not None and not self.window_batch:
+            raise ValueError('mesh sharding requires window_batch mode')
+        if mesh is not None and 'data' in mesh.axis_names \
+                and 2 % mesh.shape['data']:
+            raise ValueError("the window pair has 2 samples; 'data' axis "
+                             'size must divide 2')
         self._example_params = example_params
         self._optimizer = None
         self._run_chunk = None
@@ -226,14 +241,33 @@ class OnlineFinetuner:
         window_step, partial_step = window_step_fns(
             self.model, optimizer, self.avg_grad_every_n)
 
-        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        jit_kwargs = dict(static_argnums=(3,), donate_argnums=(0,))
+        self._pair_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from fosvos_tpu.parallel.mesh import pin_correct_partitioner
+            pin_correct_partitioner()  # Shardy grad bug — see mesh.py
+            data_ax = 'data' if 'data' in self.mesh.axis_names else None
+            spatial_ax = ('spatial' if 'spatial' in self.mesh.axis_names
+                          else None)
+            self._pair_sharding = NamedSharding(self.mesh,
+                                                P(data_ax, spatial_ax))
+            replicated = NamedSharding(self.mesh, P())
+            # carry (params/stats/opt_state/key) replicated; the pair and
+            # the per-window losses sharded
+            jit_kwargs.update(
+                in_shardings=(replicated, self._pair_sharding,
+                              self._pair_sharding),
+                out_shardings=(replicated, replicated))
+
+        @functools.partial(jax.jit, **jit_kwargs)
         def run_windows(carry, x2, g2, n_windows):
             carry, losses = jax.lax.scan(
                 lambda c, _: window_step(c, x2, g2), carry, None,
                 length=n_windows)
             return carry, losses.reshape(-1)
 
-        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        @functools.partial(jax.jit, **jit_kwargs)
         def run_partial(carry, x2, g2, r):
             return partial_step(carry, x2, g2, r)
 
@@ -280,6 +314,10 @@ class OnlineFinetuner:
             schedule = [(1.0, n_epochs)]
         pairs = _scaled_pairs(image, gt, sorted({s for s, _ in schedule}),
                               batched=self.window_batch)
+        if getattr(self, '_pair_sharding', None) is not None:
+            pairs = {s: (jax.device_put(x, self._pair_sharding),
+                         jax.device_put(g, self._pair_sharding))
+                     for s, (x, g) in pairs.items()}
 
         # run_chunk donates its carry for in-place updates on TPU; copy the
         # caller's variables so they survive repeated finetune() calls.

@@ -60,19 +60,37 @@ def test_dp_train_step_matches_single_device(db, tiny):
         rtol=1e-4, atol=1e-6)
 
 
-def test_dp_spatial_sharding_compiles(tiny):
-    """2D mesh: batch over 'data', H over 'spatial' (GSPMD halo exchange)."""
+def test_dp_spatial_sharding_matches_single_device(tiny):
+    """2D mesh: batch over 'data', H over 'spatial' (GSPMD halo exchange).
+    Gradient parity, not just finiteness: this is the regression test for
+    the jax-0.9 Shardy partitioner bug that over-reduced gradients of
+    partially-replicated tensors by the replication factor
+    (tools/repro_shardy_grad_bug.py; mesh.pin_correct_partitioner)."""
     model, variables = tiny
+    imgs = np.random.RandomState(0).randn(4, 32, 48, 3).astype(np.float32)
+    gts = (np.random.RandomState(1).rand(4, 32, 48, 1) > 0.7).astype(np.float32)
+    preset = optimizers.offline_variant(11)
+
+    single = offline.OfflineTrainer(model, preset, avg_grad_every_n=1)
+    s_state = single.init_state(variables)
+    s_state, s_losses = single.train_step(s_state, imgs, gts, 0.0)
+
     m = make_mesh(('data', 'spatial'), shape=(4, 2))
     dp = data_parallel.ShardedOfflineTrainer(model, m,
                                              optimizers.offline_variant(11),
                                              avg_grad_every_n=1,
                                              shard_spatial=True)
     state = dp.init_state(variables)
-    imgs = np.random.RandomState(0).randn(4, 32, 48, 3).astype(np.float32)
-    gts = (np.random.RandomState(1).rand(4, 32, 48, 1) > 0.7).astype(np.float32)
     state, losses = dp.train_step(state, imgs, gts, 0.0)
     assert np.isfinite(np.asarray(losses)).all()
+    np.testing.assert_allclose(
+        np.asarray(state.params['layer_fuse']['kernel']),
+        np.asarray(s_state.params['layer_fuse']['kernel']),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.params['base_conv']['kernel']),
+        np.asarray(s_state.params['base_conv']['kernel']),
+        rtol=1e-4, atol=1e-6)
 
 
 def test_sequence_fanout_adapts_each_sequence(db, tiny):
@@ -264,13 +282,14 @@ def test_dp_cli_with_test_while_training(db, tiny, tmp_path, monkeypatch):
     orig_fn = cli_mod._train_data_parallel
 
     def spy(net_provider, db_train, settings, log_epoch, snapshot,
-            test_db=None, log_test=None):
+            test_db=None, log_test=None, model=None):
         def spy_log(stats):
             test_losses.append(stats.mean_losses)
             if log_test:
                 log_test(stats)
         return orig_fn(net_provider, db_train, settings, log_epoch,
-                       snapshot, test_db=test_db, log_test=spy_log)
+                       snapshot, test_db=test_db, log_test=spy_log,
+                       model=model)
 
     monkeypatch.setattr(cli_mod, '_train_data_parallel', spy)
 
@@ -312,3 +331,42 @@ def test_spatial_sharded_inference_matches_single_device(db, tiny):
     with pytest.raises(ValueError):
         experiment.InferenceEngine(model, batch_size=3, mean=ds.meanval,
                                    mesh=mesh)  # 3 % 4 != 0
+
+
+def test_mesh_sharded_online_finetune_matches_single_device(db, tiny):
+    """OnlineFinetuner(mesh=...) — the window pair over 'data', frame height
+    over 'spatial' — must reproduce the unsharded adaptation (same PRNG
+    stream; only float reduction order differs)."""
+    from fosvos_tpu.train import online
+
+    model, variables = tiny
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+    preset = optimizers.online_variant(2)  # SGD: updates linear in the grads
+
+    ref = online.OnlineFinetuner(model, preset, avg_grad_every_n=5)
+    mesh = make_mesh(('data', 'spatial'), shape=(2, 4))
+    tuner = online.OnlineFinetuner(model, preset, avg_grad_every_n=5,
+                                   mesh=mesh)
+
+    # one optimizer window: sharded result matches tightly (the only
+    # difference is cross-device reduction order; longer runs amplify that
+    # float noise chaotically through training, so exact parity is only
+    # assertable per update)
+    r0 = ref.finetune(variables, img, gt, n_epochs=5, seed=4, augment=False)
+    r1 = tuner.finetune(variables, img, gt, n_epochs=5, seed=4,
+                        augment=False)
+    np.testing.assert_allclose(r1.losses, r0.losses, rtol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-6),
+        r1.state.params, r0.state.params)
+
+    # longer sharded run: converges like the unsharded one
+    r20 = tuner.finetune(variables, img, gt, n_epochs=200, seed=4,
+                         augment=False)
+    assert np.isfinite(r20.losses).all()
+    assert r20.losses[-1] < r20.losses[0] * 0.5
+
+    with pytest.raises(ValueError):
+        online.OnlineFinetuner(model, preset, avg_grad_every_n=5,
+                               mesh=make_mesh(('data',)))  # 8 doesn't divide 2
