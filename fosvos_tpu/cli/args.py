@@ -38,6 +38,10 @@ def get_base_parser() -> argparse.ArgumentParser:
                              'activations with fp32 params/BN/losses (1.54x '
                              'per step measured); default fp32 keeps masks '
                              'bit-comparable')
+    parser.add_argument('--visualize-network', action='store_true',
+                        help='dump the forward jaxpr + lowered HLO next to '
+                             "the run (the XLA equivalent of the reference's "
+                             'autograd graphviz render, io_helper.py:23-28)')
     parser.add_argument('--visualize-results', action='store_true',
                         help='additionally write prediction-overlay PNGs '
                              'next to the masks (headless equivalent of the '

@@ -30,6 +30,11 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
 
     if settings.is_training:
         net_provider.load_network_train()
+        if settings.is_visualizing_network:
+            from fosvos_tpu.runtime.visualize import visualize_network
+            visualize_network(net_provider.model, net_provider.variables,
+                              out_dir=str(save_dir_models),
+                              name=net_provider.name)
         train_model = net_provider.model
         if getattr(settings, 'bf16', False):
             # bf16 activations, fp32 params/BN-stats/losses — measured 1.54x
@@ -191,7 +196,8 @@ def main(argv=None):
         n_epochs=args.n_epochs or 240,
         avg_grad_every_n=10, snapshot_every_n=40,
         is_testing_while_training=False, test_every_n=5, batch_size_train=1,
-        batch_size_test=1, is_visualizing_network=False,
+        batch_size_test=1,
+        is_visualizing_network=getattr(args, 'visualize_network', False),
         is_visualizing_results=getattr(args, 'visualize_results', False),
         is_loading_vgg_caffe=False,
         variant_offline=args.variant_offline, eval_speeds=args.eval_speeds)

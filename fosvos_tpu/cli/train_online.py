@@ -38,6 +38,12 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
 
     if settings.is_training:
         net_provider.load_network_train()
+        if settings.is_visualizing_network:
+            from fosvos_tpu.runtime.visualize import visualize_network
+            visualize_network(net_provider.model, net_provider.variables,
+                              out_dir=str(save_dir_models),
+                              name=net_provider.name)
+            settings.is_visualizing_network = False  # once per sweep
         db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
                        seq_name=seq_name)
         img, gt = db.make_img_gt_pair(0)
@@ -155,7 +161,7 @@ def main(argv=None):
         avg_grad_every_n=5,
         snapshot_every_n=n_epochs, is_testing_while_training=False,
         test_every_n=5, batch_size_train=1, batch_size_test=1,
-        is_visualizing_network=False,
+        is_visualizing_network=getattr(args, 'visualize_network', False),
         is_visualizing_results=getattr(args, 'visualize_results', False),
         offline_epoch=240, variant_offline=args.variant_offline,
         variant_online=args.variant_online, eval_speeds=args.eval_speeds)

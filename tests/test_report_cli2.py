@@ -76,8 +76,11 @@ def test_offline_cli_end_to_end(db, tmp_path, monkeypatch):
     monkeypatch.setattr(providers.NetworkProvider, 'init_network', tiny_init)
 
     # --bf16: offline training with bf16 activations (params/BN/losses fp32)
+    # --visualize-network: jaxpr + lowered-HLO dumps next to the run
     cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
-                  '--db-root-dir', db, '--bf16'])
+                  '--db-root-dir', db, '--bf16', '--visualize-network'])
+    assert Path('models/resnet18.jaxpr.txt').stat().st_size > 1000
+    assert Path('models/resnet18.hlo.txt').stat().st_size > 1000
 
     assert checkpoint.exists('models', 'resnet18_11_epoch-1')   # snapshot
     assert checkpoint.exists('models', 'resnet18_11_epoch-2')   # final
