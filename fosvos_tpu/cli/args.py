@@ -30,6 +30,14 @@ def get_base_parser() -> argparse.ArgumentParser:
     parser.add_argument('--n-epochs', default=None, type=int,
                         help='override the reference training budget '
                              '(offline 240 / online 10000)')
+    parser.add_argument('--batch-size', default=None, type=int,
+                        help='training batch size (reference default 1; '
+                             'larger batches are markedly faster on TPU — '
+                             'BENCHMARKS.md offline table)')
+    parser.add_argument('--test-while-training', action='store_true',
+                        help='run the val-split loss pass every test-every-n '
+                             'epochs during offline training '
+                             '(reference train_offline.py:115-136)')
     parser.add_argument('--start-epoch', default=None, type=int,
                         help='resume from this epoch checkpoint')
     parser.add_argument('--bf16', action='store_true',

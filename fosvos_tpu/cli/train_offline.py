@@ -195,7 +195,9 @@ def main(argv=None):
         start_epoch=args.start_epoch or 0,
         n_epochs=args.n_epochs or 240,
         avg_grad_every_n=10, snapshot_every_n=40,
-        is_testing_while_training=False, test_every_n=5, batch_size_train=1,
+        is_testing_while_training=getattr(args, 'test_while_training', False),
+        test_every_n=5,
+        batch_size_train=args.batch_size or 1,
         batch_size_test=1,
         is_visualizing_network=getattr(args, 'visualize_network', False),
         is_visualizing_results=getattr(args, 'visualize_results', False),
