@@ -18,10 +18,13 @@ _build_error: Optional[str] = None
 
 
 def build(force: bool = False) -> bool:
-    """Compile libfastloader.so. Returns True on success."""
+    """Compile libfastloader.so. Returns True on success. Rebuilds
+    automatically when the source is newer than the library."""
     global _build_error
     if _SO.exists() and not force:
-        return True
+        src = _DIR / 'fastloader.cpp'
+        if _SO.stat().st_mtime >= src.stat().st_mtime:
+            return True
     cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
            str(_DIR / 'fastloader.cpp'), '-o', str(_SO),
            '-ljpeg', '-lpng', '-lpthread']
@@ -67,9 +70,36 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.fl_probe_size.argtypes = [ctypes.c_char_p,
                                   ctypes.POINTER(ctypes.c_int),
                                   ctypes.POINTER(ctypes.c_int)]
+    lib.fl_write_masks.restype = ctypes.c_int
+    lib.fl_write_masks.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
 
 def build_error() -> Optional[str]:
     return _build_error
+
+
+def write_masks(paths, masks, n_threads: int = 0) -> Optional[int]:
+    """Threaded PNG encode+write of (n, h, w) uint8 masks to ``paths``.
+
+    Returns the number written, or None when the native library is
+    unavailable (callers fall back to cv2). Encoding matches cv2.imwrite's
+    default (grayscale 8-bit, compression level 1).
+    """
+    import numpy as np
+    lib = load_library()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(masks, dtype=np.uint8)
+    n, h, w = arr.shape
+    if n == 0:
+        return 0
+    c_paths = (ctypes.c_char_p * n)(
+        *[str(p).encode() for p in paths])
+    return lib.fl_write_masks(
+        c_paths, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, n_threads)

@@ -310,3 +310,75 @@ int fl_probe_size(const char* img_path, int* h, int* w) {
 }
 
 }  // extern "C"
+
+namespace {
+
+// Encode one grayscale 8-bit PNG (the mask format the reference writes,
+// experiment_helper.py:63-64). Compression level 1 matches cv2.imwrite's
+// default IMWRITE_PNG_COMPRESSION=1 — masks are large flat regions, so
+// fast filtering wins over ratio.
+bool encode_png_gray(const char* path, const uint8_t* data, int h, int w) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return false;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                              nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(f);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_GRAY, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_set_compression_level(png, 1);
+  png_write_info(png, info);
+  for (int y = 0; y < h; ++y)
+    png_write_row(png, const_cast<png_bytep>(
+        static_cast<png_const_bytep>(data + static_cast<size_t>(y) * w)));
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Threaded mask writer: encode+write n grayscale PNGs ((n,h,w) uint8,
+// contiguous) in parallel. Returns the number written successfully.
+int fl_write_masks(const char** paths, const uint8_t* masks, int n, int h,
+                   int w, int n_threads) {
+  if (n <= 0) return 0;
+  std::atomic<int> next{0};
+  std::atomic<int> ok{0};
+  auto work = [&] {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (encode_png_gray(paths[i],
+                          masks + static_cast<size_t>(i) * h * w, h, w))
+        ok.fetch_add(1);
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : 4;
+  if (nt > n) nt = n;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+}  // extern "C"

@@ -67,3 +67,54 @@ def test_native_raw_mode_matches_files(db):
         assert img.dtype == np.uint8 and gt.dtype == np.uint8
         assert np.abs(img.astype(int) - img_ref.astype(int)).max() <= 1
         np.testing.assert_array_equal(gt, gt_ref)
+
+
+def test_native_mask_writer_matches_cv2(tmp_path):
+    """fl_write_masks: threaded PNG encode must round-trip bit-exact and
+    match what cv2 would have written (the eval mask contract)."""
+    import cv2
+    from fosvos_tpu import native
+
+    rng = np.random.RandomState(0)
+    masks = rng.randint(0, 256, (5, 33, 47), dtype=np.uint8)
+    paths = [tmp_path / f'{i:05d}.png' for i in range(5)]
+    wrote = native.write_masks(paths, masks)
+    if wrote is None:
+        pytest.skip(f'native build unavailable: {native.build_error()}')
+    assert wrote == 5
+    for i, p in enumerate(paths):
+        back = cv2.imread(str(p), 0)
+        np.testing.assert_array_equal(back, masks[i])
+
+    # empty batch is a no-op
+    assert native.write_masks([], np.zeros((0, 4, 4), np.uint8)) == 0
+
+
+def test_write_masks_batch_native_and_fallback(tmp_path, monkeypatch):
+    """experiment.write_masks_batch: native path on many-core hosts,
+    cv2 fallback otherwise/on failure — identical PNGs either way."""
+    import os
+    import cv2
+    from fosvos_tpu import native
+    from fosvos_tpu.evaluation import experiment
+
+    masks = np.random.RandomState(1).randint(0, 256, (3, 16, 24),
+                                             dtype=np.uint8)
+
+    # many-core host: the native threaded writer is used
+    monkeypatch.setattr(os, 'cpu_count', lambda: 8)
+    d_native = tmp_path / 'native'
+    d_native.mkdir()
+    experiment.write_masks_batch(d_native, ['a', 'b', 'c'], masks)
+
+    # native unavailable: cv2 fallback
+    monkeypatch.setattr(native, 'write_masks', lambda *a, **k: None)
+    d_cv2 = tmp_path / 'cv2'
+    d_cv2.mkdir()
+    experiment.write_masks_batch(d_cv2, ['a', 'b', 'c'], masks)
+
+    for i, n in enumerate(['a', 'b', 'c']):
+        np.testing.assert_array_equal(
+            cv2.imread(str(d_native / f'{n}.png'), 0), masks[i])
+        np.testing.assert_array_equal(
+            cv2.imread(str(d_cv2 / f'{n}.png'), 0), masks[i])
