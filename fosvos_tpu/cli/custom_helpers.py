@@ -89,7 +89,10 @@ def overlay(ctx: click.core.Context, seed) -> None:
                            / f'{foreground_file.stem}.png')
         annotation_image = cv2.imread(str(annotation_file))
 
-        scale_factor = 1 - rng.ranf() / 1.5
+        # reference draw: 1 - ranf()/1.5 (custom_helpers.py:84); ranf is
+        # gone from modern numpy's RandomState — random_sample is the
+        # identical generator call
+        scale_factor = 1 - rng.random_sample() / 1.5
         out_ann = cv2.resize(annotation_image, dsize=(0, 0), fx=scale_factor,
                              fy=scale_factor, interpolation=cv2.INTER_AREA)
         cv2.imwrite(str(output_annotations_path / f'{index}.png'), out_ann)
