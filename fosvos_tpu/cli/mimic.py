@@ -27,11 +27,40 @@ def get_experiment_id(learning_rate, criterion, criterion_from, learn_from):
             .format(learning_rate, criterion, criterion_from, learn_from))
 
 
+def resolve_teacher_path(seq_name: Optional[str], is_offline: bool,
+                         override: Optional[str] = None,
+                         models_dir=None) -> Optional[str]:
+    """Teacher checkpoint per the reference contract (``mimic.py:19-30``):
+
+    * offline mode — the offline parent, ``resnet18_11_epoch-239``;
+    * online mode — the teacher **already adapted to this sequence**,
+      ``resnet18_11_11_<seq>_epoch-9999`` (the output of the online sweep),
+      so each sequence distills from its own specialist.
+
+    ``override`` (the ``--teacher-path`` flag) wins when given. Resolution
+    tries the framework's npz stem first, then the reference's ``.pth``
+    name, under ``models_dir``.
+    """
+    if override:
+        return override
+    d = Path(models_dir if models_dir is not None else Paths.models_dir())
+    if is_offline:
+        stem = checkpoint.checkpoint_stem('resnet18', 239, 11)
+    else:
+        stem = checkpoint.checkpoint_stem('resnet18', 9999, 11, 11, seq_name)
+    if checkpoint.exists(str(d), stem):
+        return str(d / stem)
+    pth = d / (stem + '.pth')
+    if pth.exists():
+        return str(pth)
+    return None
+
+
 def load_teacher(model_path: Optional[str]):
     import jax
     import jax.numpy as jnp
+    from fosvos_tpu.models import ResNetArch
     arch = resnet_arch(18)
-    model = OSVOSResNet(arch=arch)
     if model_path and model_path.endswith('.pth'):
         sd = import_torch.load_state_dict(model_path)
         variables = import_torch.osvos_resnet_checkpoint_to_variables(sd, arch)
@@ -40,14 +69,20 @@ def load_teacher(model_path: Optional[str]):
         d, stem = str(Path(model_path).parent), Path(model_path).stem
         if stem.endswith('.npz'):
             stem = stem[:-4]
-        variables, _ = checkpoint.load(d, stem)
+        variables, arch_json = checkpoint.load(d, stem)
+        if arch_json:
+            arch = ResNetArch.from_json(arch_json)
         variables = jax.tree.map(jnp.asarray, variables)
     else:
-        log.warning('No --teacher-path: using fresh-init teacher.')
+        log.warning('No teacher checkpoint found: using fresh-init teacher '
+                    '(pass --teacher-path, or run the online sweep first so '
+                    'the per-sequence adapted teachers exist).')
+        model = OSVOSResNet(arch=arch)
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 96, 3), jnp.float32),
                                train=False)
-    return model, variables
+        return model, variables
+    return OSVOSResNet(arch=arch), variables
 
 
 def main(argv=None):
@@ -69,7 +104,12 @@ def main(argv=None):
     parser.add_argument('--scale-down-exponents', default='0,1,2,3,4,5,6',
                         type=str, help='comma list (reference sweeps 0..6)')
     parser.add_argument('--db-root-dir', default=None, type=str)
-    parser.add_argument('--teacher-path', default=None, type=str)
+    parser.add_argument('--teacher-path', default=None, type=str,
+                        help='teacher checkpoint override; by default the '
+                             'reference contract resolves it (offline: the '
+                             'offline parent, online: the per-sequence '
+                             'adapted teacher, mimic.py:19-30)')
+    parser.add_argument('--no-tensorboard', action='store_true')
     args = parser.parse_args(argv)
 
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -102,9 +142,12 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
     models_dir = Path('models') / path_stem / str(sde)
     results_dir = Path('results') / path_stem / str(sde)
 
-    teacher_model, teacher_vars = (load_teacher(args.teacher_path)
-                                   if args.learn_from == 'teacher'
-                                   else (None, None))
+    teacher_model, teacher_vars = (None, None)
+    if args.learn_from == 'teacher':
+        teacher_path = resolve_teacher_path(seq_name, args.offline,
+                                            override=args.teacher_path)
+        log.info('Teacher for %s: %s', seq_name or 'offline', teacher_path)
+        teacher_model, teacher_vars = load_teacher(teacher_path)
 
     student_arch = resnet_arch(18, scale_down_exponent=sde)
     student_model = OSVOSResNet(arch=student_arch)
@@ -117,12 +160,24 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
     db_val = DAVIS2016(mode='test', db_root_dir=str(db_root_dir),
                        seq_name=seq_name)
 
-    def batches(db):
-        def gen():
-            for i in range(len(db)):
-                img, gt = db.make_img_gt_pair(i)
-                yield img[None], gt[None, ..., None]
-        return gen
+    # distillation data = the reference's standard augmented train loader
+    # (flip + multi-scale {0.5, 0.8, 1}, mimic.py:63-64 -> io_helper.py:62-70);
+    # the three scale shapes each get their own compiled step (jit cache).
+    import numpy as np
+    from fosvos_tpu.data import transforms as _tf
+    aug_rng = np.random.RandomState(0)
+
+    def train_batches():
+        for i in np.random.RandomState(aug_rng.randint(2**31)) \
+                .permutation(len(db_train)):
+            img, gt = db_train.make_img_gt_pair(int(i))
+            s = _tf.train_augment({'image': img, 'gt': gt}, aug_rng)
+            yield s['image'][None], s['gt'][None, ..., None]
+
+    def val_batches():
+        for i in range(len(db_val)):
+            img, gt = db_val.make_img_gt_pair(i)
+            yield img[None], gt[None, ..., None]
 
     sub = seq_name or 'offline'
 
@@ -133,16 +188,33 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
                              'batch_stats': state.batch_stats},
                             student_arch.to_json())
 
+        from fosvos_tpu.runtime.tb import NullWriter, get_summary_writer
+        writer = (NullWriter() if args.no_tensorboard else
+                  get_summary_writer(       # reference mimic.py:87
+                      Path('tensorboard') / path_stem / str(sde)))
         res = mimic_lib.train_mimic(
             student_model, student_vars, teacher_model, teacher_vars,
-            batches(db_train), val_batches_fn=batches(db_val),
+            train_batches, val_batches_fn=val_batches,
             n_epochs=args.n_epochs, criterion=args.criterion,
             learn_from=args.learn_from, learning_rate=args.learning_rate,
-            snapshot_fn=snapshot)
+            snapshot_fn=snapshot, summary_writer=writer)
+        writer.close()
         student_vars = {'params': res.state.params,
                         'batch_stats': res.state.batch_stats}
         checkpoint.save(str(models_dir / sub), str(args.n_epochs),
                         student_vars, student_arch.to_json())
+    else:
+        # reference mimic.py:121-123: --no-training reloads the student
+        # trained by a previous run from the final-epoch checkpoint
+        stem = str(args.n_epochs)
+        if checkpoint.exists(str(models_dir / sub), stem):
+            loaded, arch_json = checkpoint.load(str(models_dir / sub), stem)
+            student_vars = jax.tree.map(jnp.asarray, loaded)
+            log.info('Loaded student from %s/%s', models_dir / sub, stem)
+        else:
+            log.warning('--no-training but no checkpoint at %s/%s: '
+                        'evaluating a fresh-init student.',
+                        models_dir / sub, stem)
 
     # speed then masks, reference mimic.py:135-141
     out_dir = str(results_dir / sub)

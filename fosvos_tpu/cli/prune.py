@@ -46,6 +46,12 @@ def main(argv=None):
     parser.add_argument('--db-root-dir', default=None, type=str)
     parser.add_argument('--model-path', default=None, type=str,
                         help='checkpoint to prune (.pth migrates)')
+    parser.add_argument('--pretrained-path', default=None, type=str,
+                        help='torchvision resnet18 state_dict (.pth); used '
+                             'when no --model-path is given — the reference '
+                             'prunes the torchvision-pretrained net '
+                             '(prune.py:33-43, OSVOS_RESNET(pretrained=True))')
+    parser.add_argument('--no-tensorboard', action='store_true')
     args = parser.parse_args(argv)
 
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -86,11 +92,19 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
         model = provider.model
         variables = provider.variables
     else:
+        # reference default: prune the torchvision-pretrained net
+        # (prune.py:33-43, OSVOS_RESNET(pretrained=True))
+        provider.pretrained_path = args.pretrained_path
         provider.init_network(arch)
+        provider.load_pretrained_trunk()
         model = provider.model
         variables = jax.tree.map(jnp.asarray, provider.variables)
-        log.warning('No --model-path given; pruning a fresh-init network '
-                    '(reference prune.py:33-43 does the same by default).')
+        if not args.pretrained_path:
+            log.warning('No --model-path and no --pretrained-path: pruning '
+                        'a fresh-init network. The reference prunes the '
+                        'torchvision-pretrained net (prune.py:33-43); pass '
+                        '--pretrained-path <torchvision resnet18 .pth> to '
+                        'match it.')
 
     db = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
                    seq_name=seq_name)
@@ -133,6 +147,12 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
             if hasattr(v, 'fps'):
                 log.info('pruned %d%% %s: %.1f fps', ckpt.percentage, k, v.fps)
 
+    # reference TB path: tensorboard/<path_stem> (prune.py:568-569); a
+    # per-sequence subdir is added so sweep runs don't clobber each other
+    from fosvos_tpu.runtime.tb import NullWriter, get_summary_writer
+    writer = (NullWriter() if args.no_tensorboard else
+              get_summary_writer(Path('tensorboard') / path_stem
+                                 / (seq_name or 'offline')))
     prune_lib.prune_iteratively(
         model, model.arch, variables, batches_fn,
         is_offline=args.offline,
@@ -140,7 +160,9 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
         n_epochs_select=args.n_epochs_select,
         n_epochs_finetune=args.n_epochs_finetune,
         percentage_max=args.percentage_max,
-        checkpoint_fn=on_checkpoint)
+        checkpoint_fn=on_checkpoint,
+        summary_writer=writer)
+    writer.close()
 
 
 if __name__ == '__main__':

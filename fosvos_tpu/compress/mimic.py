@@ -24,6 +24,7 @@ from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from fosvos_tpu.core.ops import class_balanced_cross_entropy_loss
@@ -147,34 +148,56 @@ def train_mimic(student_model, student_variables,
                 learning_rate: float = 1e-3,
                 validate_every_n: int = 10,
                 snapshot_every_n: int = 50,
-                snapshot_fn: Optional[Callable[[int, TrainState], None]] = None
+                snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
+                summary_writer=None
                 ) -> MimicResult:
     """Reference mimic loop (mimic.py:91-109): train epochs with annealed
-    deep supervision, validate every 10, snapshot every 50."""
+    deep supervision, validate every 10, snapshot every 50.
+
+    ``summary_writer`` (optional, tensorboardX-like) receives the
+    reference's scalar tags (``mimic.py:169,182,188``): ``total_loss_epoch``
+    and ``train/loss`` per epoch, ``total_loss_iter`` at every optimizer
+    step, ``val/loss`` per validation pass. Per-step losses stay
+    device-resident and are read back ONCE per epoch (stacked), then the
+    per-step scalars are emitted from the host array — no per-step D2H
+    round trips behind a high-latency link."""
     trainer = MimicTrainer(student_model, teacher_model, criterion,
                            learn_from, learning_rate)
     state = trainer.init_state(student_variables)
+    every_n = trainer.avg_grad_every_n
 
     train_losses: List[float] = []
     val_losses: List[float] = []
     for epoch in range(1, n_epochs + 1):
         epoch_frac = epoch / n_epochs
-        total = 0.0
-        n = 0
+        step_losses = []
         for images, gts in train_batches_fn():
             state, loss = trainer.train_step(state, teacher_variables,
                                              images, gts, epoch_frac)
-            total += float(loss)
-            n += 1
-        train_losses.append(total / max(n, 1))
+            step_losses.append(loss)
+        arr = (np.asarray(jnp.stack(step_losses)) if step_losses
+               else np.zeros(0))
+        n = len(arr)
+        mean = float(arr.mean()) if n else 0.0
+        train_losses.append(mean)
+        if summary_writer is not None:
+            # reference mimic.py:182: one scalar per optimizer step, global
+            # index = minibatch index + n_samples * epoch
+            for i in range(every_n - 1, n, every_n):
+                summary_writer.add_scalar('total_loss_iter', float(arr[i]),
+                                          i + n * epoch)
+            summary_writer.add_scalar('total_loss_epoch', mean, epoch)
+            summary_writer.add_scalar('train/loss', mean, epoch)
 
         if val_batches_fn is not None and epoch % validate_every_n == 0:
-            vtotal, vn = 0.0, 0
-            for images, gts in val_batches_fn():
-                vtotal += float(trainer.eval_loss(state, teacher_variables,
-                                                  images, gts, epoch_frac))
-                vn += 1
-            val_losses.append(vtotal / max(vn, 1))
+            vlosses = [trainer.eval_loss(state, teacher_variables,
+                                         images, gts, epoch_frac)
+                       for images, gts in val_batches_fn()]
+            vmean = (float(np.asarray(jnp.stack(vlosses)).mean())
+                     if vlosses else 0.0)
+            val_losses.append(vmean)
+            if summary_writer is not None:
+                summary_writer.add_scalar('val/loss', vmean, epoch)
 
         if snapshot_fn is not None and epoch % snapshot_every_n == 0:
             snapshot_fn(epoch, state)

@@ -108,9 +108,13 @@ class TaylorRanker:
             return class_balanced_cross_entropy_loss(outs[-1], gts,
                                                      size_average=False)
 
-        self._grad_fn = jax.jit(jax.grad(loss_of_masks))
+        self._grad_fn = jax.jit(jax.value_and_grad(loss_of_masks))
         self._loss_of_masks = loss_of_masks
         self._scan_fn = None
+        # device-resident loss of the last rank() pass (for the reference's
+        # train_pruning/loss scalar, prune.py:251) and its batch count
+        self.last_loss_sum = None
+        self.last_n_batches = 0
 
     def rank(self, variables, masks: Masks, batches) -> Masks:
         """Signed Taylor scores accumulated over batches
@@ -135,29 +139,36 @@ class TaylorRanker:
             def rank_scan(masks, params, stats, imgs_k, gts_k):
                 def body(acc, xy):
                     img, gt = xy
-                    g = jax.grad(loss_of_masks)(masks, params, stats,
-                                                img, gt)
-                    return jax.tree.map(jnp.add, acc, g), None
+                    acc_g, acc_l = acc
+                    l, g = jax.value_and_grad(loss_of_masks)(
+                        masks, params, stats, img, gt)
+                    return (jax.tree.map(jnp.add, acc_g, g), acc_l + l), None
 
-                acc0 = jax.tree.map(jnp.zeros_like, masks)
-                acc, _ = jax.lax.scan(body, acc0, (imgs_k, gts_k))
-                return acc
+                acc0 = (jax.tree.map(jnp.zeros_like, masks),
+                        jnp.zeros((), jnp.float32))
+                (acc, loss_sum), _ = jax.lax.scan(body, acc0,
+                                                  (imgs_k, gts_k))
+                return acc, loss_sum
 
             self._scan_fn = rank_scan
 
         ranks = {k: jnp.zeros_like(m) for k, m in masks.items()}
+        loss_sum = jnp.zeros((), jnp.float32)
         for group in groups.values():
             if len(group) > 1:
                 imgs = jnp.asarray(np.stack([i for i, _ in group]))
                 gts = jnp.asarray(np.stack([g for _, g in group]))
-                r = self._scan_fn(masks, variables['params'],
-                                  variables['batch_stats'], imgs, gts)
+                r, l = self._scan_fn(masks, variables['params'],
+                                     variables['batch_stats'], imgs, gts)
             else:
-                r = self._grad_fn(masks, variables['params'],
-                                  variables['batch_stats'],
-                                  jnp.asarray(group[0][0]),
-                                  jnp.asarray(group[0][1]))
+                l, r = self._grad_fn(masks, variables['params'],
+                                     variables['batch_stats'],
+                                     jnp.asarray(group[0][0]),
+                                     jnp.asarray(group[0][1]))
             ranks = {k: ranks[k] + r[k] for k in ranks}
+            loss_sum = loss_sum + l
+        self.last_loss_sum = loss_sum
+        self.last_n_batches = len(batches)
         return ranks
 
 
@@ -408,7 +419,8 @@ def prune_iteratively(model, arch: ResNetArch, variables,
                       percentage_max: int = 90,
                       percentage_step: int = 10,
                       checkpoint_fn: Optional[
-                          Callable[[PruneCheckpoint], None]] = None
+                          Callable[[PruneCheckpoint], None]] = None,
+                      summary_writer=None
                       ) -> List[PruneCheckpoint]:
     """The reference main loop (prune.py:552-640): for each 10% target,
     repeat [rank -> prune prune_per_iter filters -> fine-tune] until the
@@ -416,6 +428,12 @@ def prune_iteratively(model, arch: ResNetArch, variables,
 
     ``batches_fn()`` returns an iterable of (images NHWC, gts NHW1) — called
     fresh per epoch.
+
+    ``summary_writer`` (optional, tensorboardX-like) receives the reference's
+    scalar tags: ``train_pruning/loss`` per ranking epoch (``prune.py:251``)
+    and ``finetune/loss`` per fine-tune epoch (``prune.py:278``), with the
+    reference's running epoch index ``iteration * n_epochs + epoch``. Losses
+    accumulate on device; ONE readback per epoch.
     """
     ranker = TaylorRanker(model, is_offline)
     tuner = MaskedFineTuner(model, is_offline)
@@ -424,6 +442,7 @@ def prune_iteratively(model, arch: ResNetArch, variables,
     total = total_filters(masks)
     state = tuner.init_state(variables)
     checkpoints: List[PruneCheckpoint] = []
+    iteration = 0
 
     for percentage in range(percentage_step, percentage_max + 1,
                             percentage_step):
@@ -434,17 +453,31 @@ def prune_iteratively(model, arch: ResNetArch, variables,
             ranks = {k: jnp.zeros_like(m) for k, m in masks.items()}
             vars_now = {'params': state.params,
                         'batch_stats': state.batch_stats}
-            for _ in range(n_epochs_select):
+            for e in range(n_epochs_select):
                 r = ranker.rank(vars_now, masks, batches_fn())
                 ranks = {k: ranks[k] + r[k] for k in ranks}
+                if summary_writer is not None:
+                    summary_writer.add_scalar(
+                        'train_pruning/loss',
+                        float(ranker.last_loss_sum)
+                        / max(ranker.last_n_batches, 1),
+                        iteration * n_epochs_select + e + 1)
             plan = pruning_plan(normalize_ranks(ranks), masks, n)
             if not plan:
                 break
             masks = apply_plan(masks, plan)
             # fine-tune (prune.py:254-261)
-            for _ in range(n_epochs_finetune):
+            for e in range(n_epochs_finetune):
+                epoch_losses = []
                 for images, gts in batches_fn():
-                    state, _ = tuner.step(state, masks, images, gts)
+                    state, loss = tuner.step(state, masks, images, gts)
+                    epoch_losses.append(loss)
+                if summary_writer is not None and epoch_losses:
+                    summary_writer.add_scalar(
+                        'finetune/loss',
+                        float(np.asarray(jnp.stack(epoch_losses)).mean()),
+                        iteration * n_epochs_finetune + e + 1)
+            iteration += 1
 
         small_arch, small_vars = materialize(
             arch, {'params': state.params, 'batch_stats': state.batch_stats},

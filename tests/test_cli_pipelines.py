@@ -129,6 +129,116 @@ def test_mimic_cli_end_to_end(db, tmp_path, monkeypatch):
     assert len(masks) == 4
 
 
+class _StubWriter:
+    def __init__(self):
+        self.tags = {}
+
+    def add_scalar(self, tag, value, step):
+        self.tags.setdefault(tag, []).append((step, float(value)))
+
+    def close(self):
+        pass
+
+
+def test_mimic_teacher_resolution(tmp_path):
+    """Reference contract (mimic.py:19-30): online mode loads the teacher
+    already adapted to the sequence; offline mode the offline parent."""
+    from fosvos_tpu.cli import mimic as cli_mod
+    model, variables = _tiny_vars()
+    d = tmp_path / 'models'
+    checkpoint.save(str(d), 'resnet18_11_11_synth-swan_epoch-9999',
+                    variables, model.arch.to_json())
+    p = cli_mod.resolve_teacher_path('synth-swan', False, models_dir=str(d))
+    assert p == str(d / 'resnet18_11_11_synth-swan_epoch-9999')
+    # arch JSON in the checkpoint drives the teacher topology
+    tm, tv = cli_mod.load_teacher(p)
+    assert tm.arch == model.arch
+    outs = tm.apply(tv, jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    assert len(outs) == 5
+    # offline mode -> the offline parent resnet18_11_epoch-239
+    checkpoint.save(str(d), 'resnet18_11_epoch-239', variables,
+                    model.arch.to_json())
+    assert cli_mod.resolve_teacher_path(None, True, models_dir=str(d)) \
+        .endswith('resnet18_11_epoch-239')
+    # --teacher-path override wins; unknown sequence -> None (fresh init)
+    assert cli_mod.resolve_teacher_path('x', False, override='foo',
+                                        models_dir=str(d)) == 'foo'
+    assert cli_mod.resolve_teacher_path('other-seq', False,
+                                        models_dir=str(d)) is None
+    # reference .pth naming is also honoured
+    (d / 'resnet18_11_11_ref-seq_epoch-9999.pth').write_bytes(b'')
+    assert cli_mod.resolve_teacher_path('ref-seq', False, models_dir=str(d)) \
+        .endswith('resnet18_11_11_ref-seq_epoch-9999.pth')
+
+
+def test_mimic_tb_tags_and_multi_shape():
+    """train_mimic emits the reference scalar tags (mimic.py:169,182,188)
+    and distills over multiple augmented shapes (flip + multi-scale)."""
+    from fosvos_tpu.compress import mimic as mimic_lib
+    from fosvos_tpu.models import arch as arch_mod
+    teacher_model, teacher_vars = _tiny_vars(seed=3)
+    student_arch = arch_mod.resnet_arch(18, scale_down_exponent=5)
+    student_model = OSVOSResNet(arch=student_arch)
+    student_vars = student_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 48, 3), jnp.float32),
+        train=False)
+
+    rng = np.random.RandomState(0)
+    shapes = [(32, 48), (32, 48), (16, 24), (32, 48), (16, 24)]
+
+    def train_batches():
+        for h, w in shapes:   # two scale buckets, like the augmented loader
+            yield (rng.randn(1, h, w, 3).astype(np.float32) * 10,
+                   (rng.rand(1, h, w, 1) > 0.5).astype(np.float32))
+
+    def val_batches():
+        yield (rng.randn(1, 32, 48, 3).astype(np.float32) * 10,
+               (rng.rand(1, 32, 48, 1) > 0.5).astype(np.float32))
+
+    writer = _StubWriter()
+    mimic_lib.train_mimic(student_model, student_vars,
+                          teacher_model, teacher_vars,
+                          train_batches, val_batches_fn=val_batches,
+                          n_epochs=2, criterion='MSE', validate_every_n=2,
+                          summary_writer=writer)
+    assert set(writer.tags) == {'total_loss_epoch', 'total_loss_iter',
+                                'train/loss', 'val/loss'}
+    assert len(writer.tags['total_loss_epoch']) == 2
+    # 5 batches/epoch, optimizer step every 5 -> one iter scalar per epoch,
+    # at the reference's global index minibatch_idx + n_samples * epoch
+    assert [s for s, _ in writer.tags['total_loss_iter']] == [9, 14]
+    assert len(writer.tags['val/loss']) == 1
+
+
+def test_prune_tb_tags(db, tmp_path, monkeypatch):
+    """prune_iteratively emits train_pruning/loss and finetune/loss
+    (reference prune.py:251,278)."""
+    from fosvos_tpu.compress import prune as prune_lib
+    from fosvos_tpu.models import arch as arch_mod
+    arch = arch_mod.resnet_arch(18, scale_down_exponent=4)
+    model = OSVOSResNet(arch=arch)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    rng = np.random.RandomState(0)
+
+    def batches_fn():
+        for _ in range(2):
+            yield (rng.randn(1, 32, 48, 3).astype(np.float32) * 10,
+                   (rng.rand(1, 32, 48, 1) > 0.5).astype(np.float32))
+
+    writer = _StubWriter()
+    prune_lib.prune_iteratively(model, arch, variables, batches_fn,
+                                is_offline=False, prune_per_iter=16,
+                                n_epochs_select=2, n_epochs_finetune=2,
+                                percentage_max=10,
+                                summary_writer=writer)
+    assert set(writer.tags) == {'train_pruning/loss', 'finetune/loss'}
+    # reference epoch index: iteration * n_epochs + epoch (1-based)
+    assert [s for s, _ in writer.tags['finetune/loss'][:2]] == [1, 2]
+    assert all(np.isfinite(v) for _, v in writer.tags['train_pruning/loss'])
+
+
 def test_gif_convert_folder(tmp_path, monkeypatch):
     """gif CLI walks an arbitrary results tree and mirrors it as gifs."""
     imageio = pytest.importorskip('imageio')
