@@ -7,8 +7,9 @@ DAVIS-2016 benchmark definitions (Perazzi et al., CVPR'16):
 
 * **J** — region similarity: intersection-over-union per frame.
 * **F** — contour accuracy: boundary precision/recall with a tolerance of
-  ``bound_th`` (0.008 of the image diagonal), boundaries matched via
-  morphological dilation.
+  ``bound_th`` (0.008 of the image diagonal); boundaries extracted with the
+  toolkit's ``seg2bmap`` convention and matched via disk dilation, exactly
+  like the toolkit's ``db_eval_boundary``.
 * statistics per sequence: mean **M**, recall **O** (fraction of frames
   > 0.5), decay **D** (first-quartile mean minus last-quartile mean), with
   first and last frames excluded as in the toolkit.
@@ -31,15 +32,30 @@ def iou(annotation: np.ndarray, segmentation: np.ndarray) -> float:
     return float(np.logical_and(ann, seg).sum() / union)
 
 
-def _boundary_map(seg: np.ndarray) -> np.ndarray:
-    """Binary boundary map: pixels of the mask whose 4-neighborhood leaves it."""
-    from scipy.ndimage import binary_erosion
+def seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """Boundary map with the davis-2017 toolkit's ``seg2bmap`` semantics
+    (``python/lib/davis/measures/f_boundary.py``, David Martin's BSDS
+    convention): a pixel is boundary iff its value differs from its east,
+    south, or south-east neighbour — i.e. transitions are marked on *both*
+    sides, at pixel-pair granularity. Last row/column consider only the
+    in-bounds east diff; the corner is never boundary.
+
+    (The toolkit also supports resampling the map to a different
+    width/height; DAVIS masks are evaluated at native resolution, so that
+    branch does not apply.)
+    """
     seg = np.asarray(seg).astype(bool)
-    if not seg.any():
-        return np.zeros_like(seg)
-    er = binary_erosion(seg, structure=np.array(
-        [[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool), border_value=0)
-    return seg & ~er
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ e[:, -1]
+    b[-1, -1] = False
+    return b
 
 
 def _disk(radius: int) -> np.ndarray:
@@ -51,12 +67,16 @@ def _disk(radius: int) -> np.ndarray:
 
 def f_boundary(annotation: np.ndarray, segmentation: np.ndarray,
                bound_th: float = 0.008) -> float:
-    """Contour accuracy F for one frame."""
+    """Contour accuracy F for one frame, matching the davis-2017 toolkit's
+    ``db_eval_boundary``: seg2bmap boundaries on both masks, dilated by a
+    disk of radius ceil(bound_th * image diagonal); precision over the
+    predicted boundary, recall over the GT boundary."""
     from scipy.ndimage import binary_dilation
-    fg = _boundary_map(segmentation)
-    gt = _boundary_map(annotation)
+    fg = seg2bmap(segmentation)
+    gt = seg2bmap(annotation)
 
     n_fg, n_gt = fg.sum(), gt.sum()
+    # toolkit zero cases: one side empty -> (p, r) = (1, 0) or (0, 1) -> F=0
     if n_fg == 0 and n_gt == 0:
         return 1.0
     if n_fg == 0 or n_gt == 0:

@@ -35,6 +35,50 @@ def test_f_boundary_perfect_and_shifted():
     assert metrics.f_boundary(a, np.zeros_like(a)) == 0.0
 
 
+def test_seg2bmap_toolkit_convention():
+    """seg2bmap marks BOTH sides of a transition (davis-2017 toolkit /
+    BSDS convention), hand-checked on a 1px-interior square."""
+    seg = np.zeros((8, 8), bool)
+    seg[2:5, 2:5] = True   # 3x3 block, rows/cols 2..4
+    b = metrics.seg2bmap(seg)
+    # each transition pair marks its west/north pixel: bg above/left of the
+    # block, fg along the block's right/bottom edges
+    assert b[1, 2] and b[2, 1]          # bg side (north, west)
+    assert b[2, 4] and b[4, 2]          # fg side (east, south edges)
+    # interior center and the block's top-left fg pixel are not boundary
+    # (all their east/south/se neighbours are fg)
+    assert not b[3, 3] and not b[2, 2]
+    # empty mask has no boundary; a full-frame mask keeps the toolkit's
+    # zero-pad quirk: the last column (east diff vs the pad) is boundary,
+    # except the forced-off corner
+    assert not metrics.seg2bmap(np.zeros((6, 6), bool)).any()
+    bf = metrics.seg2bmap(np.ones((6, 6), bool))
+    assert bf[:, -1].sum() == 5 and not bf[-1, -1]
+    assert not bf[:, :-1].any()
+    # mask touching the image edge: edge pixels are boundary only where an
+    # in-bounds transition exists; the corner is never boundary
+    edge = np.zeros((6, 6), bool)
+    edge[4:, 4:] = True
+    be = metrics.seg2bmap(edge)
+    assert not be[5, 5]          # corner forced off
+    assert be[5, 3] and be[3, 4]  # bg pixels adjacent to the block
+
+
+def test_f_boundary_bound_on_known_offsets():
+    """Measured bound for the dilation matching: F degrades monotonically
+    with offset and hits 0 beyond 2x the tolerance radius."""
+    a = np.zeros((100, 100), bool)
+    a[30:70, 30:70] = True
+    tol = int(np.ceil(0.008 * np.linalg.norm(a.shape)))  # = 2 px here
+    f_within = metrics.f_boundary(a, np.roll(a, tol, axis=0))
+    f_beyond = metrics.f_boundary(a, np.roll(a, 4 * tol, axis=0))
+    assert f_within > 0.9 > f_beyond
+    # shifting fully out of match range: only the two parallel edges
+    # orthogonal to the shift can still match
+    f_far = metrics.f_boundary(a, np.roll(a, 20, axis=0))
+    assert f_far < f_beyond or f_beyond < 0.6
+
+
 def test_db_statistics_decay():
     v = np.linspace(1.0, 0.0, 20)  # degrading quality
     st = metrics.db_statistics(v)
