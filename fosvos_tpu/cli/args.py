@@ -24,9 +24,21 @@ def get_base_parser() -> argparse.ArgumentParser:
                         help='DAVIS-2016 root (overrides FOSVOS_DB_ROOT)')
     parser.add_argument('--pretrained-path', default=None, type=str,
                         help='.pth state_dict of the torchvision trunk')
+    parser.add_argument('--pretrained-caffe', default=None, type=str,
+                        help='vgg_hed_caffe.mat: initialize the VGG trunk '
+                             'from the caffe HED weights instead of '
+                             "torchvision (the reference's pretrained=2 / "
+                             'is_loading_vgg_caffe path, '
+                             'osvos_vgg.py:139-153)')
     parser.add_argument('--data-parallel', action='store_true',
                         help='shard the batch over all devices of the mesh '
                              '(offline training)')
+    parser.add_argument('--device-resident', action='store_true',
+                        help='offline training with the whole train split '
+                             'resident in HBM (one upload for the run) and '
+                             'on-device flip/multi-scale augmentation; '
+                             'removes the per-step H2D transfer entirely '
+                             '(BENCHMARKS.md offline section)')
     parser.add_argument('--n-epochs', default=None, type=int,
                         help='override the reference training budget '
                              '(offline 240 / online 10000)')
@@ -66,6 +78,10 @@ def parse_args(is_online: bool, argv=None) -> argparse.Namespace:
         parser.add_argument('-sgs', '--sequence-group-size', default=None,
                             type=int)
         parser.add_argument('--variant-online', default=None, type=int)
+        parser.add_argument('--offline-epoch', default=None, type=int,
+                            help='epoch of the offline parent checkpoint to '
+                                 'adapt from (default 239 = the offline '
+                                 "CLI's final snapshot)")
         parser.add_argument('--fanout', action='store_true',
                             help='adapt all sequences in parallel on the '
                              'device mesh instead of sequentially')

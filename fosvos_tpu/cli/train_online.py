@@ -144,6 +144,34 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
                             engine=engine)
 
 
+def select_regime(n_sequences: int, n_devices: int, fanout_requested: bool,
+                  is_training: bool) -> str:
+    """Pick 'fanout' or 'sequential' for the sweep.
+
+    Fan-out is the right regime only when the mesh can actually hold the
+    sequences: with more sequences than devices each device time-slices
+    several adapted models, measured 2.2x slower per sequence than the
+    sequential sweep on one chip (HBM churn, BENCHMARKS.md). And fan-out
+    parallelizes the *adaptation* — with --no-training there is nothing to
+    fan out, so the sequential test sweep runs.
+    """
+    if not fanout_requested or n_sequences <= 1:
+        return 'sequential'
+    if not is_training:
+        log.info('--fanout ignored with --no-training (fan-out parallelizes '
+                 'the adaptation itself); running the sequential test sweep.')
+        return 'sequential'
+    if n_sequences > n_devices:
+        log.info('fanout regime: %d sequences > %d devices -> sequential '
+                 'sweep (fan-out measured 2.2x slower per sequence when '
+                 'devices time-slice sequences, BENCHMARKS.md)',
+                 n_sequences, n_devices)
+        return 'sequential'
+    log.info('fanout regime: %d sequences over %d devices', n_sequences,
+             n_devices)
+    return 'fanout'
+
+
 def main(argv=None):
     args = parse_args(is_online=True, argv=argv)
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -163,7 +191,9 @@ def main(argv=None):
         test_every_n=5, batch_size_train=1, batch_size_test=1,
         is_visualizing_network=getattr(args, 'visualize_network', False),
         is_visualizing_results=getattr(args, 'visualize_results', False),
-        offline_epoch=240, variant_offline=args.variant_offline,
+        offline_epoch=(args.offline_epoch if args.offline_epoch is not None
+                       else 239),
+        variant_offline=args.variant_offline,
         variant_online=args.variant_online, eval_speeds=args.eval_speeds)
 
     provider_class = provider_mapping[('online', args.network)]
@@ -195,7 +225,10 @@ def main(argv=None):
                 remaining.append(seq)
         sequences = remaining
 
-    if getattr(args, 'fanout', False) and len(sequences) > 1:
+    import jax
+    if select_regime(len(sequences), len(jax.devices()),
+                     getattr(args, 'fanout', False),
+                     settings.is_training) == 'fanout':
         run_fanout(net_provider, sequences, settings, db_root_dir,
                    save_dir_models, save_dir_results,
                    window_batch=not getattr(args, 'sequential_windows',

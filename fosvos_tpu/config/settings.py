@@ -36,7 +36,12 @@ class OnlineSettings(Settings):
     n_epochs: int = 10000
     avg_grad_every_n: int = 5
     snapshot_every_n: int = 10000
-    offline_epoch: int = 240
+    # the offline CLI's final snapshot is epoch n_epochs-1 = 239 (training
+    # counts 0..n_epochs-1), matching the reference's final offline artifact
+    # name resnet18_11_epoch-239.pth (mimic.py:22); the nominal "240" in the
+    # reference's OnlineSettings was dead (its load_model ignored the epoch,
+    # SURVEY.md §2 defects)
+    offline_epoch: int = 239
     variant_online: Optional[int] = None
 
 

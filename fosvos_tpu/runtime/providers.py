@@ -33,7 +33,8 @@ class NetworkProvider:
                  variant_offline: Optional[int] = None,
                  variant_online: Optional[int] = None,
                  version: int = 18,
-                 pretrained_path: Optional[str] = None):
+                 pretrained_path: Optional[str] = None,
+                 caffe_path: Optional[str] = None):
         self.name = name
         self.save_dir = str(save_dir)
         self.settings = settings
@@ -41,6 +42,7 @@ class NetworkProvider:
         self.variant_online = variant_online
         self.version = version
         self.pretrained_path = pretrained_path
+        self.caffe_path = caffe_path
         self.model = None
         self.variables = None
 
@@ -131,6 +133,18 @@ class NetworkProvider:
             self.variables = {'params': params, 'batch_stats': stats}
         self.variables = jax.tree.map(jnp.asarray, self.variables)
 
+    def load_caffe_trunk(self) -> None:
+        """Caffe HED-VGG trunk import (reference ``pretrained=2``,
+        ``osvos_vgg.py:139-153`` / the ``is_loading_vgg_caffe`` setting,
+        ``settings.py:22-24``). Needs the ``vgg_hed_caffe.mat`` file."""
+        if self.network_kind != 'vgg':
+            raise ValueError('caffe HED trunk applies to the VGG model only')
+        params = import_torch.vgg16_trunk_from_caffe(
+            self.caffe_path, self.variables['params'])
+        self.variables = {**self.variables,
+                          'params': jax.tree.map(jnp.asarray, params)}
+        log.info('Loaded caffe HED trunk from %s', self.caffe_path)
+
     # -- reference load_network_* contract -----------------------------------
 
     def load_network_train(self) -> None:
@@ -155,7 +169,13 @@ class VGGOfflineProvider(NetworkProvider):
     def load_network_train(self) -> None:
         self.init_network()
         if self.settings.start_epoch == 0:
-            self.load_pretrained_trunk()
+            # reference osvos_vgg.py:118-153: pretrained=2 (caffe HED .mat,
+            # selected by is_loading_vgg_caffe) vs pretrained=1 (torchvision)
+            if self.caffe_path and getattr(self.settings,
+                                           'is_loading_vgg_caffe', True):
+                self.load_caffe_trunk()
+            else:
+                self.load_pretrained_trunk()
         else:
             self.load_model(self.settings.start_epoch)
 

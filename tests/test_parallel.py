@@ -174,7 +174,7 @@ def test_fanout_cli_path(db, tiny, tmp_path, monkeypatch):
     seed.model = model
     seed.variables = jax.tree.map(jnp.asarray, variables)
     Path('models').mkdir(exist_ok=True)
-    seed.save_model(240)
+    seed.save_model(239)  # offline_epoch default (= final offline snapshot)
 
     cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
                   '--variant-online', '11', '--fanout',

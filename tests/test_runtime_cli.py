@@ -113,6 +113,42 @@ def test_provider_migrates_reference_pth(tmp_path):
     assert len(outs) == 5
 
 
+def test_vgg_provider_caffe_trunk(tmp_path):
+    """--pretrained-caffe path: VGGOfflineProvider initializes the trunk from
+    a (synthetic) vgg_hed_caffe.mat — the reference's pretrained=2 /
+    is_loading_vgg_caffe branch (osvos_vgg.py:139-153)."""
+    import scipy.io
+    from fosvos_tpu.runtime.providers import VGGOfflineProvider
+
+    rng = np.random.RandomState(7)
+    cfg = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    in_ch = 3
+    weights, biases = [], []
+    for out in cfg:
+        w_torch = rng.randn(out, in_ch, 3, 3).astype(np.float64)
+        weights.append(w_torch.transpose())
+        biases.append(rng.randn(out, 1).astype(np.float64))
+        in_ch = out
+    w_cell = np.empty((1, len(weights)), dtype=object)
+    b_cell = np.empty((1, len(biases)), dtype=object)
+    for k in range(len(weights)):
+        w_cell[0, k] = weights[k]
+        b_cell[0, k] = biases[k]
+    mat = tmp_path / 'vgg_hed_caffe.mat'
+    scipy.io.savemat(str(mat), {'weights': w_cell, 'biases': b_cell})
+
+    settings = OfflineSettings(start_epoch=0, is_loading_vgg_caffe=True)
+    p = VGGOfflineProvider('vgg16', str(tmp_path), settings,
+                           caffe_path=str(mat))
+    p.load_network_train()
+    got = np.asarray(p.variables['params']['stage0_conv0']['kernel'])
+    want = weights[0].transpose()   # torch (out,in,kh,kw)
+    assert got[1, 2, 0, 5] == np.float32(want[5, 0, 1, 2])
+    outs = p.model.apply({'params': p.variables['params']},
+                         jnp.zeros((1, 33, 49, 3), jnp.float32))
+    assert len(outs) == 5
+
+
 def test_provider_mapping_complete():
     assert set(provider_mapping) == {
         ('offline', 'vgg16'), ('online', 'vgg16'),
@@ -148,7 +184,8 @@ def test_online_cli_end_to_end(db, tmp_path, monkeypatch):
     seed_provider.variables = jax.tree.map(jnp.asarray,
                                            seed_provider.variables)
     Path('models').mkdir(exist_ok=True)
-    seed_provider.save_model(240)  # offline_epoch default
+    seed_provider.save_model(239)  # offline_epoch default (= final offline
+    # snapshot, epoch n_epochs-1)
 
     cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
                   '--variant-online', '11', '-s', 'synth-swan',
@@ -158,6 +195,22 @@ def test_online_cli_end_to_end(db, tmp_path, monkeypatch):
     assert checkpoint.exists('models', 'resnet18_11_11_synth-swan_epoch-11')
     masks = sorted(Path('results/resnet18/11/11/synth-swan').glob('*.png'))
     assert len(masks) == 4
+
+
+def test_fanout_regime_selection():
+    """Auto-regime: fan-out only when sequences fit on the mesh and there
+    is an adaptation to parallelize (VERDICT r2 item 9)."""
+    from fosvos_tpu.cli.train_online import select_regime
+    assert select_regime(8, 8, True, True) == 'fanout'
+    assert select_regime(4, 8, True, True) == 'fanout'
+    # more sequences than devices -> sequential (2.2x HBM-churn penalty)
+    assert select_regime(20, 1, True, True) == 'sequential'
+    assert select_regime(20, 8, True, True) == 'sequential'
+    # --no-training: nothing to fan out
+    assert select_regime(8, 8, True, False) == 'sequential'
+    # not requested / single sequence
+    assert select_regime(8, 8, False, True) == 'sequential'
+    assert select_regime(1, 8, True, True) == 'sequential'
 
 
 def test_evaluate_cli(db, tmp_path, monkeypatch):
