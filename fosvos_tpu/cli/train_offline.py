@@ -73,6 +73,21 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                                          log_epoch, snapshot,
                                          test_db=test_db, log_test=log_test,
                                          model=train_model)
+        elif getattr(settings, 'device_resident', False):
+            from fosvos_tpu.train import resident
+            if test_db is not None:
+                log.warning('--test-while-training is not supported in '
+                            '--device-resident mode; skipping test passes.')
+            state = resident.train_offline_resident(
+                train_model, net_provider.variables, db_train,
+                preset=net_provider.get_preset(),
+                n_epochs=settings.n_epochs,
+                start_epoch=settings.start_epoch,
+                batch_size=settings.batch_size_train,
+                avg_grad_every_n=settings.avg_grad_every_n,
+                snapshot_every_n=settings.snapshot_every_n,
+                snapshot_fn=snapshot,
+                log_fn=log_epoch)
         else:
             state = offline.train_offline(
                 train_model, net_provider.variables, db_train,
@@ -135,10 +150,21 @@ def _train_data_parallel(net_provider, db_train, settings, log_epoch,
     state = trainer.init_state(net_provider.variables)
     rng = np.random.RandomState(0)
     global_batch = settings.batch_size_train * mesh.size
+
+    # double-buffer H2D with sharded placement: batch k+1 lands on the mesh
+    # while step k runs (train/offline.prefetch_to_device)
+    import jax
+
+    def put_sharded(batch):
+        return {k: jax.device_put(v, trainer.batch_sharding)
+                for k, v in batch.items()}
+
     for epoch in range(settings.start_epoch, settings.n_epochs):
         t0 = time.perf_counter()
         epoch_losses = []
-        for batch in offline.iterate_raw_batches(db_train, global_batch, rng):
+        for batch in offline.prefetch_to_device(
+                offline.iterate_raw_batches(db_train, global_batch, rng),
+                put_fn=put_sharded):
             state, losses = trainer.train_step(state, batch['image'],
                                                batch['gt'],
                                                epoch / settings.n_epochs)
@@ -201,9 +227,10 @@ def main(argv=None):
         batch_size_test=1,
         is_visualizing_network=getattr(args, 'visualize_network', False),
         is_visualizing_results=getattr(args, 'visualize_results', False),
-        is_loading_vgg_caffe=False,
+        is_loading_vgg_caffe=bool(args.pretrained_caffe),
         variant_offline=args.variant_offline, eval_speeds=args.eval_speeds)
     settings.data_parallel = args.data_parallel
+    settings.device_resident = args.device_resident
     settings.bf16 = args.bf16
 
     provider_class = provider_mapping[('offline', args.network)]
@@ -211,7 +238,8 @@ def main(argv=None):
     net_provider = provider_class(args.network, save_dir_models, settings,
                                   variant_offline=args.variant_offline,
                                   version=version,
-                                  pretrained_path=args.pretrained_path)
+                                  pretrained_path=args.pretrained_path,
+                                  caffe_path=args.pretrained_caffe)
     train_and_test(net_provider, settings, db_root_dir, save_dir_models,
                    save_dir_results)
 

@@ -178,6 +178,47 @@ def iterate_batches(dataset: DAVIS2016, batch_size: int,
             pending_imgs, pending_gts = [], []
 
 
+def prefetch_to_device(batches, put_fn=None, depth: int = 2):
+    """Overlap H2D transfer with device compute (double buffering).
+
+    A daemon thread walks ``batches`` and enqueues each batch onto the
+    device (``jax.device_put``, or ``put_fn`` for sharded placement) up to
+    ``depth`` batches ahead of the consumer — while step k executes, batch
+    k+1 crosses the host->device link instead of serializing with the step
+    dispatch (the pattern proven in the webcam serve path,
+    ``cli/run_webcam.py``). Bit-equivalent to the serial loop: only *when*
+    the transfer happens changes, not what is transferred.
+
+    Host-side augmentation/decoding inside the ``batches`` generator also
+    moves off the consumer thread (cv2/np release the GIL for the heavy
+    parts, as does the device_put transfer wait).
+    """
+    import queue
+    import threading
+
+    put = put_fn if put_fn is not None else jax.device_put
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    done = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(put(b))
+        except BaseException as e:   # propagate into the consumer
+            q.put(e)
+            return
+        q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 @dataclasses.dataclass
 class EpochStats:
     epoch: int
@@ -206,14 +247,17 @@ def train_offline(model, variables, dataset: DAVIS2016,
                   device_preprocess: bool = True,
                   test_dataset: Optional[DAVIS2016] = None,
                   test_every_n: int = 5,
-                  test_log_fn: Optional[Callable[[EpochStats], None]] = None
+                  test_log_fn: Optional[Callable[[EpochStats], None]] = None,
+                  prefetch: bool = True
                   ) -> TrainState:
     """Full offline training loop (reference defaults: 240 epochs, batch 1,
     step every 10, snapshot every 40 — ``train_offline.py:153-157``).
 
     ``device_preprocess`` (default) ships uint8 batches and normalizes on
     device — bit-equal to the host path and ~3x faster per step when the
-    host->device link is the bottleneck."""
+    host->device link is the bottleneck. ``prefetch`` (default) additionally
+    double-buffers the H2D transfer behind the running step
+    (:func:`prefetch_to_device`)."""
     trainer = OfflineTrainer(model, preset, avg_grad_every_n,
                              device_preprocess=device_preprocess,
                              meanval=dataset.meanval)
@@ -224,7 +268,10 @@ def train_offline(model, variables, dataset: DAVIS2016,
     for epoch in range(start_epoch, n_epochs):
         t0 = time.perf_counter()
         epoch_losses = []
-        for batch in batches_fn(dataset, batch_size, rng, augment):
+        batch_iter = batches_fn(dataset, batch_size, rng, augment)
+        if prefetch:
+            batch_iter = prefetch_to_device(batch_iter)
+        for batch in batch_iter:
             state, losses = trainer.train_step(
                 state, batch['image'], batch['gt'], epoch / n_epochs)
             epoch_losses.append(losses)

@@ -1,0 +1,97 @@
+"""Device-resident offline training (train/resident.py): bit-parity with the
+standard path at scale 1.0, and the on-device augmented multi-scale path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.train import offline, optimizers, resident
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')),
+                              size=(32, 48))
+
+
+@pytest.fixture(scope='module')
+def tiny_model(db):
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    return model, jax.tree.map(jnp.asarray, variables)
+
+
+def test_resident_matches_standard_no_augment(db, tiny_model):
+    """With augment off there is no resize: the resident chunk scan runs the
+    same step sequence as the standard uint8 device-preprocess path.
+    Equality is to float-reassociation tolerance (the scan body and the
+    standalone step are different XLA programs; measured max divergence
+    ~4e-7 after an epoch), not bitwise."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    seed, n_epochs = 3, 2
+
+    state_r = resident.train_offline_resident(
+        model, variables, ds, preset=optimizers.offline_variant(11),
+        n_epochs=n_epochs, batch_size=1, avg_grad_every_n=2,
+        augment=False, seed=seed)
+
+    # hand-rolled standard path over the SAME index order (the resident
+    # loop's only rng draw per epoch is the permutation)
+    trainer = offline.OfflineTrainer(model, optimizers.offline_variant(11),
+                                     avg_grad_every_n=2,
+                                     device_preprocess=True,
+                                     meanval=ds.meanval)
+    state_s = trainer.init_state(variables)
+    rng = np.random.RandomState(seed)
+    for epoch in range(n_epochs):
+        order = rng.permutation(len(ds))
+        for i in order:
+            img, gt = ds.make_raw_pair(int(i))
+            state_s, _ = trainer.train_step(state_s, img[None],
+                                            gt[None, ..., None],
+                                            epoch / n_epochs)
+
+    got = jax.tree.leaves(jax.tree.map(np.asarray, state_r.params))
+    want = jax.tree.leaves(jax.tree.map(np.asarray, state_s.params))
+    assert got and all(np.allclose(a, b, atol=5e-6, rtol=1e-5)
+                       for a, b in zip(got, want))
+    # batch stats too (BN running stats follow the same step sequence)
+    got_bs = jax.tree.leaves(jax.tree.map(np.asarray, state_r.batch_stats))
+    want_bs = jax.tree.leaves(jax.tree.map(np.asarray, state_s.batch_stats))
+    assert all(np.allclose(a, b, atol=5e-6, rtol=1e-5)
+               for a, b in zip(got_bs, want_bs))
+
+
+def test_resident_augmented_multiscale(db, tiny_model):
+    """Augmented mode: on-device flip + multi-scale resize, losses finite,
+    loss log covers every step, snapshots at the reference cadence."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    stats_log, snaps = [], []
+    resident.train_offline_resident(
+        model, variables, ds, preset=optimizers.offline_variant(11),
+        n_epochs=4, batch_size=1, avg_grad_every_n=2,
+        augment=True, seed=0, chunk_steps=2,
+        snapshot_every_n=2, snapshot_fn=lambda e, s: snaps.append(e),
+        log_fn=stats_log.append)
+    assert len(stats_log) == 4
+    assert all(np.isfinite(s.mean_losses).all() for s in stats_log)
+    assert snaps == [1, 3]
+
+
+def test_resident_batch_gathers(db, tiny_model):
+    """batch_size > 1: per-step gather of several resident frames."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    stats_log = []
+    resident.train_offline_resident(
+        model, variables, ds, preset=optimizers.offline_variant(11),
+        n_epochs=1, batch_size=2, avg_grad_every_n=2,
+        augment=False, seed=0, log_fn=stats_log.append)
+    assert np.isfinite(stats_log[0].mean_losses).all()

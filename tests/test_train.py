@@ -203,6 +203,48 @@ def test_offline_augmented_shapes_compile(db, tiny_model):
     assert np.isfinite(np.asarray(losses)).all()
 
 
+def test_prefetch_matches_serial_loop(db, tiny_model):
+    """Double-buffered H2D (prefetch_to_device) is bit-identical to the
+    serial loop — only transfer timing changes, not what is transferred.
+    (Fixed batch list: the native loader's completion-order batching is
+    deliberately order-free, so parity is asserted on the same stream.)"""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    rng = np.random.RandomState(0)
+    batches = [{'image': b['image'].copy(), 'gt': b['gt'].copy()}
+               for b in offline.iterate_batches(ds, 1, rng, augment=True)]
+
+    def run(prefetch):
+        trainer = offline.OfflineTrainer(model,
+                                         optimizers.offline_variant(11),
+                                         avg_grad_every_n=2)
+        state = trainer.init_state(variables)
+        it = (offline.prefetch_to_device(iter(batches)) if prefetch
+              else iter(batches))
+        for batch in it:
+            state, _ = trainer.train_step(state, batch['image'], batch['gt'],
+                                          0.0)
+        return jax.tree.map(np.asarray, state.params)
+
+    a, b = run(True), run(False)
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert flat_a and all(np.array_equal(x, y)
+                          for x, y in zip(flat_a, flat_b))
+
+
+def test_prefetch_propagates_generator_errors():
+    """Exceptions raised while producing batches surface in the consumer."""
+    def bad_batches():
+        yield {'x': np.zeros(2, np.float32)}
+        raise RuntimeError('decode failed')
+
+    it = offline.prefetch_to_device(bad_batches())
+    next(it)
+    with pytest.raises(RuntimeError, match='decode failed'):
+        next(it)
+
+
 def test_gradient_accumulation_steps_only_every_n(tiny_model):
     """Params must change only at accumulation boundaries (MultiSteps)."""
     model, variables = tiny_model

@@ -31,6 +31,11 @@ def main():
     ap.add_argument('--n-frames', type=int, default=32)
     ap.add_argument('--epochs', type=int, default=3)
     ap.add_argument('--no-augment', action='store_true')
+    ap.add_argument('--no-prefetch', action='store_true',
+                    help='A/B: disable the double-buffered H2D prefetch')
+    ap.add_argument('--resident', action='store_true',
+                    help='device-resident dataset mode (train/resident.py): '
+                         'one upload, on-device augmentation, chunked scans')
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix='offline_davis_')
@@ -51,12 +56,23 @@ def main():
         train=False))
 
     stats = []
-    offline.train_offline(model, variables, ds,
-                          preset=optimizers.offline_variant(11),
-                          n_epochs=args.epochs, batch_size=args.batch_size,
-                          avg_grad_every_n=10, augment=not args.no_augment,
-                          seed=0, snapshot_every_n=10 ** 9,
-                          log_fn=stats.append)
+    if args.resident:
+        from fosvos_tpu.train import resident
+        resident.train_offline_resident(
+            model, variables, ds, preset=optimizers.offline_variant(11),
+            n_epochs=args.epochs, batch_size=args.batch_size,
+            avg_grad_every_n=10, augment=not args.no_augment,
+            seed=0, snapshot_every_n=10 ** 9, log_fn=stats.append)
+    else:
+        offline.train_offline(model, variables, ds,
+                              preset=optimizers.offline_variant(11),
+                              n_epochs=args.epochs,
+                              batch_size=args.batch_size,
+                              avg_grad_every_n=10,
+                              augment=not args.no_augment,
+                              seed=0, snapshot_every_n=10 ** 9,
+                              log_fn=stats.append,
+                              prefetch=not args.no_prefetch)
     # iterate_raw_batches yields only full batches (trailing partial is
     # dropped), so steps/frames use floor
     n_steps = args.n_frames // args.batch_size
