@@ -166,6 +166,14 @@ def main():
     configs = [
         ('vgg16_480p_latency_fps_b1_fp32', _build_vgg, 1, 'fp32',
          'vgg16', 10),
+        # single-frame bf16: the serving precision's latency axis (VERDICT
+        # r2 item 3 — states plainly what single-chip b1 tops out at; the
+        # rest of the 10x north-star is the multi-chip spatial path,
+        # evaluation/experiment.py mesh mode)
+        ('vgg16_480p_latency_fps_b1_bf16', _build_vgg, 1, 'bf16',
+         'vgg16', 10),
+        ('resnet18_480p_latency_fps_b1_bf16', lambda: _build_resnet(18),
+         1, 'bf16', 'resnet18', 30),
         ('vgg16_480p_throughput_fps_b64', _build_vgg, 64, 'bf16',
          'vgg16', 5),
         # serving batches above the b64 knee (measured: resnet18 ~3000 fps

@@ -99,16 +99,18 @@ def overlay(ctx: click.core.Context, seed) -> None:
 
         fg = cv2.resize(foreground_image, dsize=(0, 0), fx=scale_factor,
                         fy=scale_factor, interpolation=cv2.INTER_AREA)
-        x_offset = rng.randint(0, background_image.shape[1] - fg.shape[1])
-        y_offset = rng.randint(0, background_image.shape[0] - fg.shape[0])
-        y1, y2 = y_offset, y_offset + fg.shape[0]
-        x1, x2 = x_offset, x_offset + fg.shape[1]
-        alpha_s = (out_ann.astype(float) / 255).mean(axis=2)
-        alpha_l = 1.0 - alpha_s
-        for c in range(3):
-            background_image[y1:y2, x1:x2, c] = (
-                alpha_s * fg[:, :, c]
-                + alpha_l * background_image[y1:y2, x1:x2, c])
+        fg_h, fg_w = fg.shape[:2]
+        # uniform placement keeping the scaled foreground fully in frame
+        # (draw order: x then y, for seeded reproducibility)
+        left = rng.randint(0, background_image.shape[1] - fg_w)
+        top = rng.randint(0, background_image.shape[0] - fg_h)
+
+        # vectorized alpha blend, per-pixel alpha = annotation intensity
+        alpha = (out_ann.astype(np.float64) / 255).mean(axis=2,
+                                                        keepdims=True)
+        region = background_image[top:top + fg_h, left:left + fg_w]
+        background_image[top:top + fg_h, left:left + fg_w] = \
+            alpha * fg + (1.0 - alpha) * region
         cv2.imwrite(str(output_path / f'{index}.jpg'), background_image)
 
 
