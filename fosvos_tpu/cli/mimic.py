@@ -110,6 +110,11 @@ def main(argv=None):
                              'offline parent, online: the per-sequence '
                              'adapted teacher, mimic.py:19-30)')
     parser.add_argument('--no-tensorboard', action='store_true')
+    parser.add_argument('--device-resident', action='store_true',
+                        help='offline mode: distill over the HBM-resident '
+                             'train split (train/resident.py engine) — '
+                             'removes the per-step H2D transfer; ignored '
+                             'for per-sequence (1-frame) online runs')
     args = parser.parse_args(argv)
 
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -192,12 +197,26 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
         writer = (NullWriter() if args.no_tensorboard else
                   get_summary_writer(       # reference mimic.py:87
                       Path('tensorboard') / path_stem / str(sde)))
-        res = mimic_lib.train_mimic(
-            student_model, student_vars, teacher_model, teacher_vars,
-            train_batches, val_batches_fn=val_batches,
-            n_epochs=args.n_epochs, criterion=args.criterion,
-            learn_from=args.learn_from, learning_rate=args.learning_rate,
-            snapshot_fn=snapshot, summary_writer=writer)
+        use_resident = getattr(args, 'device_resident', False)
+        if use_resident and seq_name is not None:
+            log.info('--device-resident ignored for a 1-frame online run')
+            use_resident = False
+        if use_resident:
+            res = mimic_lib.train_mimic_resident(
+                student_model, student_vars, teacher_model, teacher_vars,
+                db_train, val_batches_fn=val_batches,
+                n_epochs=args.n_epochs, criterion=args.criterion,
+                learn_from=args.learn_from,
+                learning_rate=args.learning_rate,
+                snapshot_fn=snapshot, summary_writer=writer)
+        else:
+            res = mimic_lib.train_mimic(
+                student_model, student_vars, teacher_model, teacher_vars,
+                train_batches, val_batches_fn=val_batches,
+                n_epochs=args.n_epochs, criterion=args.criterion,
+                learn_from=args.learn_from,
+                learning_rate=args.learning_rate,
+                snapshot_fn=snapshot, summary_writer=writer)
         writer.close()
         student_vars = {'params': res.state.params,
                         'batch_stats': res.state.batch_stats}

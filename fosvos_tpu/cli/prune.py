@@ -52,6 +52,11 @@ def main(argv=None):
                              'prunes the torchvision-pretrained net '
                              '(prune.py:33-43, OSVOS_RESNET(pretrained=True))')
     parser.add_argument('--no-tensorboard', action='store_true')
+    parser.add_argument('--device-resident', action='store_true',
+                        help='rank/fine-tune over the HBM-resident train '
+                             'split (train/resident.py engine) — removes '
+                             'the per-step H2D transfer; ignored for '
+                             'per-sequence (1-frame) online runs')
     args = parser.parse_args(argv)
 
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -153,6 +158,10 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
     writer = (NullWriter() if args.no_tensorboard else
               get_summary_writer(Path('tensorboard') / path_stem
                                  / (seq_name or 'offline')))
+    use_resident = getattr(args, 'device_resident', False)
+    if use_resident and seq_name is not None:
+        log.info('--device-resident ignored for a 1-frame online run')
+        use_resident = False
     prune_lib.prune_iteratively(
         model, model.arch, variables, batches_fn,
         is_offline=args.offline,
@@ -161,7 +170,8 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
         n_epochs_finetune=args.n_epochs_finetune,
         percentage_max=args.percentage_max,
         checkpoint_fn=on_checkpoint,
-        summary_writer=writer)
+        summary_writer=writer,
+        resident_dataset=db if use_resident else None)
     writer.close()
 
 

@@ -68,26 +68,34 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
             log.info('***Testing*** [Epoch: %d] fuse loss %f', stats.epoch,
                      stats.mean_losses[-1])
 
-        if getattr(settings, 'data_parallel', False):
-            state = _train_data_parallel(net_provider, db_train, settings,
-                                         log_epoch, snapshot,
-                                         test_db=test_db, log_test=log_test,
-                                         model=train_model)
-        elif getattr(settings, 'device_resident', False):
+        if getattr(settings, 'device_resident', False):
             from fosvos_tpu.train import resident
             if test_db is not None:
                 log.warning('--test-while-training is not supported in '
                             '--device-resident mode; skipping test passes.')
+            mesh = None
+            batch = settings.batch_size_train
+            if getattr(settings, 'data_parallel', False):
+                from fosvos_tpu.runtime import distributed
+                mesh = distributed.global_mesh(('data',))
+                batch = settings.batch_size_train * mesh.size
+                log.info('device-resident data-parallel: global batch %d '
+                         'over %d devices', batch, mesh.size)
             state = resident.train_offline_resident(
                 train_model, net_provider.variables, db_train,
                 preset=net_provider.get_preset(),
                 n_epochs=settings.n_epochs,
                 start_epoch=settings.start_epoch,
-                batch_size=settings.batch_size_train,
+                batch_size=batch,
                 avg_grad_every_n=settings.avg_grad_every_n,
                 snapshot_every_n=settings.snapshot_every_n,
                 snapshot_fn=snapshot,
-                log_fn=log_epoch)
+                log_fn=log_epoch, mesh=mesh)
+        elif getattr(settings, 'data_parallel', False):
+            state = _train_data_parallel(net_provider, db_train, settings,
+                                         log_epoch, snapshot,
+                                         test_db=test_db, log_test=log_test,
+                                         model=train_model)
         else:
             state = offline.train_offline(
                 train_model, net_provider.variables, db_train,

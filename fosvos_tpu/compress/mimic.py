@@ -139,6 +139,123 @@ class MimicResult:
     val_losses: List[float]
 
 
+def _mimic_step_fn(student_model, teacher_model, optimizer, criterion: str,
+                   learn_from: str):
+    """The distillation train step as a ChunkEngine step function
+    (ctx = teacher variables; aux = scalar loss)."""
+    crit = _criterion_fn(criterion)
+
+    def step(state: TrainState, teacher_variables, imgs, gts, epoch_frac):
+        if learn_from == 'teacher':
+            outs_t, _ = teacher_model.apply(teacher_variables, imgs,
+                                            train=True,
+                                            mutable=['batch_stats'])
+            ts = [jax.lax.stop_gradient(o) for o in outs_t]
+        else:
+            ts = [gts] * 5
+
+        def loss_fn(p):
+            outs, mut = student_model.apply(
+                {'params': p, 'batch_stats': state.batch_stats}, imgs,
+                train=True, mutable=['batch_stats'])
+            losses = [crit(o, t) for o, t in zip(outs, ts)]
+            total = (1.0 - epoch_frac) * sum(losses[:-1]) + losses[-1]
+            return total, mut['batch_stats']
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, batch_stats=new_stats,
+                          opt_state=opt_state, step=state.step + 1), loss
+
+    return step
+
+
+def train_mimic_resident(student_model, student_variables,
+                         teacher_model, teacher_variables, dataset,
+                         val_batches_fn=None,
+                         n_epochs: int = 200,
+                         criterion: str = 'CBCEL',
+                         learn_from: str = 'teacher',
+                         learning_rate: float = 1e-3,
+                         avg_grad_every_n: int = 5,
+                         validate_every_n: int = 10,
+                         snapshot_every_n: int = 50,
+                         snapshot_fn=None, summary_writer=None,
+                         seed: int = 0, chunk_steps: int = 50
+                         ) -> MimicResult:
+    """:func:`train_mimic` with the train split resident in HBM
+    (``train/resident.py`` engine): teacher+student steps run as compiled
+    chunk scans over device-gathered, device-augmented frames — for the
+    offline distillation sweep this removes the per-step H2D transfer the
+    same way it does for parent training (BENCHMARKS.md). Same reference
+    semantics, scalar tags, and cadences as :func:`train_mimic`."""
+    from fosvos_tpu.train import resident
+
+    preset = optimizers.Preset(family='adam', lr=learning_rate,
+                               weight_decay=2e-4, grouped=False)
+    base = optimizers.make_optimizer(preset, student_variables['params'])
+    optimizer = optax.MultiSteps(base, every_k_schedule=avg_grad_every_n)
+    state = create_state(student_variables, optimizer)
+
+    engine = resident.ChunkEngine(
+        _mimic_step_fn(student_model, teacher_model, optimizer, criterion,
+                       learn_from),
+        meanval=dataset.meanval)
+    d_imgs, d_gts = resident.upload(dataset)
+    rng = np.random.RandomState(seed)
+
+    # validation reuses the per-batch eval step (small + infrequent)
+    eval_trainer = None
+    if val_batches_fn is not None:
+        eval_trainer = MimicTrainer(student_model, teacher_model, criterion,
+                                    learn_from, learning_rate,
+                                    avg_grad_every_n)
+        eval_trainer._build(student_variables['params'])
+
+    train_losses: List[float] = []
+    val_losses: List[float] = []
+    for epoch in range(1, n_epochs + 1):
+        epoch_frac = epoch / n_epochs
+        idxs, flips, schedule = resident.epoch_plan(
+            len(dataset), 1, rng, augment=True, chunk_steps=chunk_steps)
+        state, auxes = engine.run_epoch(state, teacher_variables,
+                                        d_imgs, d_gts, idxs, flips,
+                                        schedule, epoch_frac)
+        arr = np.concatenate([np.asarray(a).reshape(-1) for a in auxes]) \
+            if auxes else np.zeros(0)
+        n = len(arr)
+        mean = float(arr.mean()) if n else 0.0
+        train_losses.append(mean)
+        if summary_writer is not None:
+            for i in range(avg_grad_every_n - 1, n, avg_grad_every_n):
+                summary_writer.add_scalar('total_loss_iter', float(arr[i]),
+                                          i + n * epoch)
+            summary_writer.add_scalar('total_loss_epoch', mean, epoch)
+            summary_writer.add_scalar('train/loss', mean, epoch)
+
+        if eval_trainer is not None and epoch % validate_every_n == 0:
+            st = TrainState(params=state.params,
+                            batch_stats=state.batch_stats,
+                            opt_state=None, step=state.step)
+            vlosses = [eval_trainer.eval_loss(st, teacher_variables,
+                                              images, gts, epoch_frac)
+                       for images, gts in val_batches_fn()]
+            vmean = (float(np.asarray(jnp.stack(vlosses)).mean())
+                     if vlosses else 0.0)
+            val_losses.append(vmean)
+            if summary_writer is not None:
+                summary_writer.add_scalar('val/loss', vmean, epoch)
+
+        if snapshot_fn is not None and epoch % snapshot_every_n == 0:
+            snapshot_fn(epoch, state)
+
+    return MimicResult(state=state, train_losses=train_losses,
+                       val_losses=val_losses)
+
+
 def train_mimic(student_model, student_variables,
                 teacher_model, teacher_variables,
                 train_batches_fn: Callable[[], Any],

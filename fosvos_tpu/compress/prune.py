@@ -410,6 +410,44 @@ class PruneCheckpoint:
     masks: Masks
 
 
+def _rank_step_fn(loss_of_masks):
+    """Taylor ranking as a ChunkEngine step: carry = (rank acc, loss sum),
+    ctx = (masks, params, batch_stats); aux = per-step loss."""
+    def step(carry, ctx, imgs, gts, epoch_frac):
+        acc, loss_sum = carry
+        masks, params, stats = ctx
+        l, g = jax.value_and_grad(loss_of_masks)(masks, params, stats,
+                                                 imgs, gts)
+        return (jax.tree.map(jnp.add, acc, g), loss_sum + l), l
+    return step
+
+
+def _finetune_step_fn(model, optimizer, is_offline: bool):
+    """Masked fine-tune as a ChunkEngine step (ctx = channel masks)."""
+    def step(state: TrainState, masks, imgs, gts, epoch_frac):
+        def loss_fn(p):
+            outs, mut = model.apply(
+                {'params': p, 'batch_stats': state.batch_stats}, imgs,
+                train=True, mutable=['batch_stats'], channel_masks=masks)
+            if is_offline:
+                losses = [class_balanced_cross_entropy_loss(
+                    o, gts, size_average=False) for o in outs]
+                total = sum(losses)
+            else:
+                total = class_balanced_cross_entropy_loss(
+                    outs[-1], gts, size_average=False)
+            return total, mut['batch_stats']
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, batch_stats=new_stats,
+                          opt_state=opt_state, step=state.step + 1), loss
+    return step
+
+
 def prune_iteratively(model, arch: ResNetArch, variables,
                       batches_fn: Callable[[], Any],
                       is_offline: bool,
@@ -420,7 +458,9 @@ def prune_iteratively(model, arch: ResNetArch, variables,
                       percentage_step: int = 10,
                       checkpoint_fn: Optional[
                           Callable[[PruneCheckpoint], None]] = None,
-                      summary_writer=None
+                      summary_writer=None,
+                      resident_dataset=None, resident_seed: int = 0,
+                      resident_chunk_steps: int = 50
                       ) -> List[PruneCheckpoint]:
     """The reference main loop (prune.py:552-640): for each 10% target,
     repeat [rank -> prune prune_per_iter filters -> fine-tune] until the
@@ -434,6 +474,13 @@ def prune_iteratively(model, arch: ResNetArch, variables,
     and ``finetune/loss`` per fine-tune epoch (``prune.py:278``), with the
     reference's running epoch index ``iteration * n_epochs + epoch``. Losses
     accumulate on device; ONE readback per epoch.
+
+    ``resident_dataset`` (a DAVIS2016 split) switches both inner loops to
+    the HBM-resident engine (``train/resident.py``): ranking and fine-tune
+    epochs run as compiled chunk scans over device-gathered,
+    device-augmented frames, with channel masks / (params, stats) threaded
+    as traced context so mask updates never recompile. ``batches_fn`` is
+    unused then and may be None.
     """
     ranker = TaylorRanker(model, is_offline)
     tuner = MaskedFineTuner(model, is_offline)
@@ -443,6 +490,18 @@ def prune_iteratively(model, arch: ResNetArch, variables,
     state = tuner.init_state(variables)
     checkpoints: List[PruneCheckpoint] = []
     iteration = 0
+
+    rank_engine = ft_engine = d_imgs = d_gts = res_rng = None
+    if resident_dataset is not None:
+        from fosvos_tpu.train import resident as resident_mod
+        d_imgs, d_gts = resident_mod.upload(resident_dataset)
+        rank_engine = resident_mod.ChunkEngine(
+            _rank_step_fn(ranker._loss_of_masks),
+            meanval=resident_dataset.meanval)
+        ft_engine = resident_mod.ChunkEngine(
+            _finetune_step_fn(model, tuner._optimizer, is_offline),
+            meanval=resident_dataset.meanval)
+        res_rng = np.random.RandomState(resident_seed)
 
     for percentage in range(percentage_step, percentage_max + 1,
                             percentage_step):
@@ -454,13 +513,25 @@ def prune_iteratively(model, arch: ResNetArch, variables,
             vars_now = {'params': state.params,
                         'batch_stats': state.batch_stats}
             for e in range(n_epochs_select):
-                r = ranker.rank(vars_now, masks, batches_fn())
+                if resident_dataset is not None:
+                    from fosvos_tpu.train import resident as resident_mod
+                    idxs, flips, schedule = resident_mod.epoch_plan(
+                        len(resident_dataset), 1, res_rng, augment=True,
+                        chunk_steps=resident_chunk_steps)
+                    carry0 = (jax.tree.map(jnp.zeros_like, masks),
+                              jnp.zeros((), jnp.float32))
+                    (r, loss_sum), _ = rank_engine.run_epoch(
+                        carry0, (masks, state.params, state.batch_stats),
+                        d_imgs, d_gts, idxs, flips, schedule, 0.0)
+                    rank_loss = float(loss_sum) / max(len(idxs), 1)
+                else:
+                    r = ranker.rank(vars_now, masks, batches_fn())
+                    rank_loss = (float(ranker.last_loss_sum)
+                                 / max(ranker.last_n_batches, 1))
                 ranks = {k: ranks[k] + r[k] for k in ranks}
                 if summary_writer is not None:
                     summary_writer.add_scalar(
-                        'train_pruning/loss',
-                        float(ranker.last_loss_sum)
-                        / max(ranker.last_n_batches, 1),
+                        'train_pruning/loss', rank_loss,
                         iteration * n_epochs_select + e + 1)
             plan = pruning_plan(normalize_ranks(ranks), masks, n)
             if not plan:
@@ -468,14 +539,28 @@ def prune_iteratively(model, arch: ResNetArch, variables,
             masks = apply_plan(masks, plan)
             # fine-tune (prune.py:254-261)
             for e in range(n_epochs_finetune):
-                epoch_losses = []
-                for images, gts in batches_fn():
-                    state, loss = tuner.step(state, masks, images, gts)
-                    epoch_losses.append(loss)
-                if summary_writer is not None and epoch_losses:
+                if resident_dataset is not None:
+                    from fosvos_tpu.train import resident as resident_mod
+                    idxs, flips, schedule = resident_mod.epoch_plan(
+                        len(resident_dataset), 1, res_rng, augment=True,
+                        chunk_steps=resident_chunk_steps)
+                    state, auxes = ft_engine.run_epoch(
+                        state, masks, d_imgs, d_gts, idxs, flips,
+                        schedule, 0.0)
+                    mean_loss = (float(np.concatenate(
+                        [np.asarray(a).reshape(-1) for a in auxes]).mean())
+                        if auxes else 0.0)
+                else:
+                    epoch_losses = []
+                    for images, gts in batches_fn():
+                        state, loss = tuner.step(state, masks, images, gts)
+                        epoch_losses.append(loss)
+                    mean_loss = (float(np.asarray(
+                        jnp.stack(epoch_losses)).mean())
+                        if epoch_losses else 0.0)
+                if summary_writer is not None:
                     summary_writer.add_scalar(
-                        'finetune/loss',
-                        float(np.asarray(jnp.stack(epoch_losses)).mean()),
+                        'finetune/loss', mean_loss,
                         iteration * n_epochs_finetune + e + 1)
             iteration += 1
 

@@ -1,26 +1,37 @@
-"""Device-resident offline training: the dataset lives in HBM.
+"""Device-resident training: the dataset lives in HBM.
 
 Motivation (BENCHMARKS.md round-3 decomposition): behind a bandwidth-bound
 host->device link the offline step is dominated by re-shipping frames every
 epoch (`device_put` 18.8 ms vs 10.3 ms device compute at b1 480p). DAVIS-2016
 train is ~3.4 GB as uint8 — it fits in HBM **once**, and every subsequent
-epoch re-reads it for free. This trainer:
+epoch re-reads it for free.
 
-* uploads the full train split as two resident uint8 arrays (frames NHWC,
+The machinery is a small engine shared by every epoch-over-the-train-split
+loop in the framework (offline parent training, offline mimic distillation,
+and the data-parallel variant):
+
+* :func:`upload` ships the split as two resident uint8 arrays (frames NHWC,
   masks NHW1) — one transfer for the whole run;
-* runs each epoch as a handful of compiled chunk dispatches: a
-  ``lax.scan`` over train steps that gathers the step's frames by index
-  from the resident arrays, augments ON DEVICE (horizontal flip +
-  multi-scale resize — the reference pipeline, ``io_helper.py:62-70``),
-  normalizes (mean subtract / gt max, ``davis_2016.py:127-132``), and
-  applies the same deep-supervision + MultiSteps update as
-  :class:`~fosvos_tpu.train.offline.OfflineTrainer`;
-* per-epoch host traffic is a permutation + flip bits (a few KB) out and
-  one stacked loss readback in.
+* :class:`ChunkEngine` compiles, per augmentation scale, a ``lax.scan`` over
+  train steps that gathers each step's frames by index from the resident
+  arrays, augments ON DEVICE (horizontal flip + multi-scale resize — the
+  reference pipeline, ``io_helper.py:62-70``), normalizes (mean subtract /
+  gt max, ``davis_2016.py:127-132``), and applies a caller-provided step
+  function;
+* per-epoch host traffic is a permutation + flip bits (a few KB) out and one
+  stacked aux readback in.
 
 The three augmentation scales {0.5, 0.8, 1} become three compiled chunk
 programs (static shapes), interleaved by ``transforms.scale_schedule``
-exactly like the online adaptation path.
+exactly like the online adaptation path. With a ``mesh``, the resident
+arrays are replicated, the per-step batch axis is sharded over 'data', and
+GSPMD inserts the gradient all-reduce — the data-parallel trainer with zero
+per-step host traffic.
+
+Measured (BENCHMARKS.md): 7.2 ms/step / 138 frames/s sustained at b1 480p
+with full augmentation — 4.6x over the standard loop, below the 10.3 ms
+single-step device compute (the scan amortizes dispatch; the 0.5/0.8-scale
+steps cost less than native).
 
 Documented deviation from the host pipeline: scale resize runs on device in
 float32 (``jax.image.resize`` cubic for frames / nearest for masks) instead
@@ -29,13 +40,13 @@ of cv2 on uint8, so resized pixels are not bit-identical to the cv2 path
 ``augment=False``) there is no resize and the step sequence matches
 ``OfflineTrainer`` to float-reassociation tolerance (measured ~4e-7 after
 an epoch; the scan body and the standalone step are different XLA
-programs) — tested. The reference's own transform stack is a torch
-CPU pipeline, so neither host nor device tier is bit-tied to it.
+programs) — tested. The reference's own transform stack is a torch CPU
+pipeline, so neither host nor device tier is bit-tied to it.
 """
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +60,26 @@ from fosvos_tpu.train.losses import deep_supervision_loss
 from fosvos_tpu.train.offline import EpochStats
 from fosvos_tpu.train.state import TrainState, create_state
 
+# step_fn(state, ctx, imgs_f32, gts_f32, epoch_frac) -> (state, aux)
+StepFn = Callable[[Any, Any, jax.Array, jax.Array, jax.Array],
+                  Tuple[Any, jax.Array]]
+
+
+def upload(dataset: DAVIS2016, mesh=None):
+    """Stack the split as uint8 and ship it to HBM once (replicated over
+    ``mesh`` when given)."""
+    imgs, gts = [], []
+    for i in range(len(dataset)):
+        img, gt = dataset.make_raw_pair(i)
+        imgs.append(img)
+        gts.append(gt[..., None])
+    imgs, gts = np.stack(imgs), np.stack(gts)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        return jax.device_put(imgs, repl), jax.device_put(gts, repl)
+    return jax.device_put(imgs), jax.device_put(gts)
+
 
 def _resize_batch(imgs, gts, out_h: int, out_w: int):
     """Device-tier multi-scale resize: cubic frames, nearest masks
@@ -59,48 +90,33 @@ def _resize_batch(imgs, gts, out_h: int, out_w: int):
     return imgs, gts
 
 
-class ResidentOfflineTrainer:
-    """Offline training over an HBM-resident dataset (see module docstring)."""
+class ChunkEngine:
+    """Per-scale compiled chunk scans around a caller step function.
 
-    def __init__(self, model, preset: Optional[optimizers.Preset] = None,
-                 avg_grad_every_n: int = 10, meanval=None,
-                 chunk_steps: int = 50):
-        self.model = model
-        self.preset = preset or optimizers.Preset()
-        self.avg_grad_every_n = avg_grad_every_n
+    ``step_fn(state, ctx, imgs, gts, epoch_frac)`` receives normalized
+    float32 batches (mean-subtracted frames, max-normalized masks) and
+    returns ``(new_state, aux)``; ``ctx`` is an arbitrary pytree threaded
+    through unchanged (channel masks, teacher params, ...).
+
+    With ``mesh``: state/ctx/resident data are replicated, the batch axis
+    of each step is sharded over the 'data' axis (indices and flips are
+    sharded host-side), aux comes back replicated.
+    """
+
+    def __init__(self, step_fn: StepFn, meanval=None, mesh=None):
+        self.step_fn = step_fn
         self.meanval = jnp.asarray(meanval if meanval is not None
                                    else DAVIS_MEAN_BGR, jnp.float32)
-        self.chunk_steps = chunk_steps
-        self._optimizer = None
-        self._chunk_fns = {}    # (scale, T, B) are shape-keyed by jit itself
-
-    def init_state(self, variables) -> TrainState:
-        if self._optimizer is None:
-            base = optimizers.make_optimizer(self.preset,
-                                             variables['params'])
-            self._optimizer = optax.MultiSteps(
-                base, every_k_schedule=self.avg_grad_every_n)
-        return create_state(variables, self._optimizer)
-
-    def upload(self, dataset: DAVIS2016):
-        """Stack the split as uint8 and ship it to HBM once."""
-        imgs, gts = [], []
-        for i in range(len(dataset)):
-            img, gt = dataset.make_raw_pair(i)
-            imgs.append(img)
-            gts.append(gt[..., None])
-        return (jax.device_put(np.stack(imgs)),
-                jax.device_put(np.stack(gts)))
+        self.mesh = mesh
+        self._fns = {}
 
     def _chunk_fn(self, scale: float, native_hw):
-        """Compiled scan over chunk steps at one augmentation scale."""
         key = (scale, native_hw)
-        if key in self._chunk_fns:
-            return self._chunk_fns[key]
+        if key in self._fns:
+            return self._fns[key]
 
-        model = self.model
+        step_fn = self.step_fn
         mean = self.meanval
-        optimizer = self._optimizer
         h, w = native_hw
         if scale == 1.0:
             out_h, out_w = h, w
@@ -108,9 +124,7 @@ class ResidentOfflineTrainer:
             # cv2.resize(fx=s) output size convention: round(dim * s)
             out_h, out_w = int(round(h * scale)), int(round(w * scale))
 
-        @jax.jit
-        def run_chunk(state: TrainState, imgs_u8, gts_u8, idxs, flips,
-                      epoch_frac):
+        def run_chunk(state, ctx, imgs_u8, gts_u8, idxs, flips, epoch_frac):
             def body(state, xf):
                 idx, flip = xf
                 imgs = jnp.take(imgs_u8, idx, axis=0).astype(jnp.float32)
@@ -123,29 +137,83 @@ class ResidentOfflineTrainer:
                 gmax = jnp.maximum(
                     jnp.max(gts, axis=(1, 2, 3), keepdims=True), 1e-8)
                 gts = gts / gmax
+                return step_fn(state, ctx, imgs, gts, epoch_frac)
 
-                def loss_fn(p):
-                    outs, mut = model.apply(
-                        {'params': p, 'batch_stats': state.batch_stats},
-                        imgs, train=True, mutable=['batch_stats'])
-                    total, losses = deep_supervision_loss(outs, gts,
-                                                          epoch_frac)
-                    return total, (mut['batch_stats'], losses)
+            return jax.lax.scan(body, state, (idxs, flips))
 
-                (_, (new_stats, losses)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-                updates, opt_state = optimizer.update(
-                    grads, state.opt_state, state.params)
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(params=params, batch_stats=new_stats,
-                                  opt_state=opt_state,
-                                  step=state.step + 1), jnp.stack(losses)
+        if self.mesh is None:
+            fn = jax.jit(run_chunk)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(self.mesh, P())
+            bsh = NamedSharding(self.mesh, P(None, 'data'))  # (T, B) on B
+            fn = jax.jit(run_chunk,
+                         in_shardings=(repl, repl, repl, repl, bsh, bsh,
+                                       None),
+                         out_shardings=(repl, repl))
+        self._fns[key] = fn
+        return fn
 
-            state, losses = jax.lax.scan(body, state, (idxs, flips))
-            return state, losses
+    def run_epoch(self, state, ctx, d_imgs, d_gts, idxs: np.ndarray,
+                  flips: np.ndarray, schedule, epoch_frac: float):
+        """Dispatch one epoch as per-scale chunk scans.
 
-        self._chunk_fns[key] = run_chunk
-        return run_chunk
+        ``idxs``/``flips`` are (n_steps, batch) host arrays; ``schedule`` is
+        a list of (scale, n_chunk_steps) covering all n_steps rows in
+        order. Returns (state, [aux_per_chunk]) with aux device-resident —
+        the caller stacks and reads back once.
+        """
+        native_hw = tuple(d_imgs.shape[1:3])
+        auxes = []
+        pos = 0
+        for scale, n in schedule:
+            fn = self._chunk_fn(scale, native_hw)
+            state, aux = fn(state, ctx, d_imgs, d_gts,
+                            jnp.asarray(idxs[pos:pos + n]),
+                            jnp.asarray(flips[pos:pos + n]),
+                            jnp.asarray(epoch_frac, jnp.float32))
+            auxes.append(aux)
+            pos += n
+        assert pos == len(idxs)
+        return state, auxes
+
+
+def epoch_plan(n_samples: int, batch_size: int, rng: np.random.RandomState,
+               augment: bool, chunk_steps: int = 50):
+    """Host-side epoch randomness: permuted sample indices (n_steps, B),
+    per-step flips, and the interleaved per-scale chunk schedule."""
+    n_steps = n_samples // batch_size
+    order = rng.permutation(n_samples)[:n_steps * batch_size]
+    idxs = order.reshape(n_steps, batch_size).astype(np.int32)
+    if augment:
+        flips = (rng.rand(n_steps, batch_size) < 0.5)
+        schedule = transforms.scale_schedule(n_steps, rng,
+                                             chunk_steps=chunk_steps)
+    else:
+        flips = np.zeros((n_steps, batch_size), bool)
+        schedule = [(1.0, n_steps)]
+    return idxs, flips, schedule
+
+
+def _offline_step_fn(model, optimizer) -> StepFn:
+    """The offline deep-supervision train step as a ChunkEngine step."""
+    def step(state: TrainState, ctx, imgs, gts, epoch_frac):
+        def loss_fn(p):
+            outs, mut = model.apply(
+                {'params': p, 'batch_stats': state.batch_stats},
+                imgs, train=True, mutable=['batch_stats'])
+            total, losses = deep_supervision_loss(outs, gts, epoch_frac)
+            return total, (mut['batch_stats'], losses)
+
+        (_, (new_stats, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, batch_stats=new_stats,
+                          opt_state=opt_state,
+                          step=state.step + 1), jnp.stack(losses)
+    return step
 
 
 def train_offline_resident(
@@ -157,47 +225,39 @@ def train_offline_resident(
         snapshot_every_n: int = 40,
         snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
         log_fn: Optional[Callable[[EpochStats], None]] = None,
-        chunk_steps: int = 50) -> TrainState:
+        chunk_steps: int = 50, mesh=None) -> TrainState:
     """Drop-in for :func:`~fosvos_tpu.train.offline.train_offline` with the
     dataset resident in HBM (identical reference semantics and cadences;
     matches the standard path to float tolerance when ``augment=False`` —
-    tested)."""
-    trainer = ResidentOfflineTrainer(model, preset, avg_grad_every_n,
-                                     meanval=dataset.meanval,
-                                     chunk_steps=chunk_steps)
-    state = trainer.init_state(variables)
-    d_imgs, d_gts = trainer.upload(dataset)
-    native_hw = tuple(d_imgs.shape[1:3])
+    tested). With ``mesh``, the batch axis is sharded over its 'data' axis
+    (pass ``batch_size`` as the GLOBAL batch, a multiple of the axis size)
+    and GSPMD inserts the gradient all-reduce."""
+    base = optimizers.make_optimizer(preset or optimizers.Preset(),
+                                     variables['params'])
+    optimizer = optax.MultiSteps(base, every_k_schedule=avg_grad_every_n)
+    state = create_state(variables, optimizer)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if batch_size % mesh.shape['data'] != 0:
+            raise ValueError(
+                f'global batch {batch_size} must be a multiple of the '
+                f"mesh data axis {mesh.shape['data']}")
+
+    engine = ChunkEngine(_offline_step_fn(model, optimizer),
+                         meanval=dataset.meanval, mesh=mesh)
+    d_imgs, d_gts = upload(dataset, mesh=mesh)
     rng = np.random.RandomState(seed)
-    n_steps = len(dataset) // batch_size
 
     for epoch in range(start_epoch, n_epochs):
         t0 = time.perf_counter()
-        order = rng.permutation(len(dataset))[:n_steps * batch_size]
-        idxs = order.reshape(n_steps, batch_size).astype(np.int32)
-        if augment:
-            flips = (rng.rand(n_steps, batch_size) < 0.5)
-            schedule = transforms.scale_schedule(n_steps, rng,
-                                                 chunk_steps=chunk_steps)
-        else:
-            flips = np.zeros((n_steps, batch_size), bool)
-            schedule = [(1.0, n_steps)]
-
-        epoch_losses = []
-        pos = 0
-        for scale, n in schedule:
-            fn = trainer._chunk_fn(scale, native_hw)
-            state, losses = fn(state, d_imgs, d_gts,
-                               jnp.asarray(idxs[pos:pos + n]),
-                               jnp.asarray(flips[pos:pos + n]),
-                               jnp.asarray(epoch / n_epochs, jnp.float32))
-            epoch_losses.append(losses)   # (n, 5) device-resident
-            pos += n
-        assert pos == n_steps
-
+        idxs, flips, schedule = epoch_plan(len(dataset), batch_size, rng,
+                                           augment, chunk_steps)
+        state, auxes = engine.run_epoch(state, None, d_imgs, d_gts, idxs,
+                                        flips, schedule, epoch / n_epochs)
         # ONE readback per epoch (also fences the epoch for honest timing)
-        mean_losses = (np.asarray(jnp.concatenate(epoch_losses)).mean(axis=0)
-                       if epoch_losses else np.zeros(5))
+        mean_losses = (np.asarray(jnp.concatenate(auxes)).mean(axis=0)
+                       if auxes else np.zeros(5))
         stats = EpochStats(epoch=epoch, mean_losses=mean_losses,
                            wall_time_s=time.perf_counter() - t0)
         if log_fn is not None:

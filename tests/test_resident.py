@@ -85,6 +85,113 @@ def test_resident_augmented_multiscale(db, tiny_model):
     assert snaps == [1, 3]
 
 
+def test_resident_data_parallel_matches_single(db, tiny_model):
+    """Resident training over the 8-way virtual 'data' mesh: replicated
+    resident arrays, batch axis sharded, GSPMD all-reduce — same params as
+    the single-device resident run (float tolerance)."""
+    from fosvos_tpu.parallel import make_mesh
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    mesh = make_mesh(('data',))
+    assert mesh.size >= 2
+
+    def run(m):
+        return resident.train_offline_resident(
+            model, variables, ds, preset=optimizers.offline_variant(11),
+            n_epochs=1, batch_size=8, avg_grad_every_n=1,
+            augment=False, seed=0, mesh=m)
+
+    state_m = run(mesh)
+    state_1 = run(None)
+    got = jax.tree.leaves(jax.tree.map(np.asarray, state_m.params))
+    want = jax.tree.leaves(jax.tree.map(np.asarray, state_1.params))
+    assert got and all(np.allclose(a, b, atol=5e-6, rtol=1e-5)
+                       for a, b in zip(got, want))
+
+
+def test_resident_mesh_batch_divisibility(db, tiny_model):
+    from fosvos_tpu.parallel import make_mesh
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    mesh = make_mesh(('data',))
+    with pytest.raises(ValueError, match='multiple of the mesh data axis'):
+        resident.train_offline_resident(
+            model, variables, ds, n_epochs=1,
+            batch_size=mesh.shape['data'] + 1, mesh=mesh)
+
+
+def test_resident_mimic_distillation(db, tiny_model):
+    """Offline mimic over the HBM-resident split: teacher+student chunk
+    scans, reference TB tags, snapshot cadence."""
+    from fosvos_tpu.compress import mimic as mimic_lib
+    teacher_model, teacher_vars = tiny_model
+    student_model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=5))
+    student_vars = student_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 48, 3), jnp.float32),
+        train=False)
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    db_val = davis.DAVIS2016(mode='test', db_root_dir=db,
+                             seq_name='synth-swan')
+
+    def val_batches():
+        img, gt = db_val.make_img_gt_pair(0)
+        yield img[None], gt[None, ..., None]
+
+    class W:
+        def __init__(self):
+            self.tags = {}
+
+        def add_scalar(self, tag, v, s):
+            self.tags.setdefault(tag, []).append((s, float(v)))
+
+    w = W()
+    snaps = []
+    res = mimic_lib.train_mimic_resident(
+        student_model, student_vars, teacher_model, teacher_vars, ds,
+        val_batches_fn=val_batches, n_epochs=2, criterion='MSE',
+        validate_every_n=2, snapshot_every_n=2,
+        snapshot_fn=lambda e, s: snaps.append(e), summary_writer=w,
+        chunk_steps=2)
+    assert np.isfinite(res.train_losses).all()
+    assert len(res.train_losses) == 2 and len(res.val_losses) == 1
+    assert {'total_loss_epoch', 'total_loss_iter', 'train/loss',
+            'val/loss'} == set(w.tags)
+    assert snaps == [2]
+
+
+def test_resident_prune_pipeline(db, tiny_model):
+    """Pruning with both inner loops on the resident engine: ranking grads
+    accumulate on device, masks thread as traced context (no recompile per
+    prune iteration), checkpoints materialize a smaller arch."""
+    from fosvos_tpu.compress import prune as prune_lib
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+
+    class W:
+        def __init__(self):
+            self.tags = {}
+
+        def add_scalar(self, tag, v, s):
+            self.tags.setdefault(tag, []).append((s, float(v)))
+
+    w = W()
+    ckpts = prune_lib.prune_iteratively(
+        model, model.arch, variables, None, is_offline=True,
+        prune_per_iter=16, n_epochs_select=1, n_epochs_finetune=1,
+        percentage_max=10, summary_writer=w,
+        resident_dataset=ds, resident_chunk_steps=2)
+    assert len(ckpts) == 1
+    small = ckpts[0].arch
+    n_small = small.base_out + sum(sum(b.convs) for st in small.stages
+                                   for b in st)
+    full = model.arch
+    n_full = full.base_out + sum(sum(b.convs) for st in full.stages
+                                 for b in st)
+    assert n_small < n_full
+    assert {'train_pruning/loss', 'finetune/loss'} == set(w.tags)
+    assert all(np.isfinite(v) for vs in w.tags.values() for _, v in vs)
+
+
 def test_resident_batch_gathers(db, tiny_model):
     """batch_size > 1: per-step gather of several resident frames."""
     model, variables = tiny_model
