@@ -75,12 +75,22 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                             '--device-resident mode; skipping test passes.')
             mesh = None
             batch = settings.batch_size_train
+            shard_spatial = False
             if getattr(settings, 'data_parallel', False):
+                import jax as _jax
                 from fosvos_tpu.runtime import distributed
-                mesh = distributed.global_mesh(('data',))
-                batch = settings.batch_size_train * mesh.size
-                log.info('device-resident data-parallel: global batch %d '
-                         'over %d devices', batch, mesh.size)
+                n_dev = len(_jax.devices())
+                # 2D mesh when it fits: frame H over 'spatial' halves each
+                # device's resident-dataset footprint and partitions convs
+                if n_dev >= 4 and n_dev % 2 == 0:
+                    mesh = distributed.global_mesh(
+                        ('data', 'spatial'), shape=(n_dev // 2, 2))
+                    shard_spatial = True
+                else:
+                    mesh = distributed.global_mesh(('data',))
+                batch = settings.batch_size_train * mesh.shape['data']
+                log.info('device-resident data-parallel: global batch %d, '
+                         'mesh %s', batch, dict(mesh.shape))
             state = resident.train_offline_resident(
                 train_model, net_provider.variables, db_train,
                 preset=net_provider.get_preset(),
@@ -90,7 +100,8 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                 avg_grad_every_n=settings.avg_grad_every_n,
                 snapshot_every_n=settings.snapshot_every_n,
                 snapshot_fn=snapshot,
-                log_fn=log_epoch, mesh=mesh)
+                log_fn=log_epoch, mesh=mesh,
+                shard_spatial=shard_spatial)
         elif getattr(settings, 'data_parallel', False):
             state = _train_data_parallel(net_provider, db_train, settings,
                                          log_epoch, snapshot,

@@ -65,9 +65,15 @@ StepFn = Callable[[Any, Any, jax.Array, jax.Array, jax.Array],
                   Tuple[Any, jax.Array]]
 
 
-def upload(dataset: DAVIS2016, mesh=None):
-    """Stack the split as uint8 and ship it to HBM once (replicated over
-    ``mesh`` when given)."""
+def upload(dataset: DAVIS2016, mesh=None, shard_spatial: bool = False):
+    """Stack the split as uint8 and ship it to HBM once.
+
+    With ``mesh``: replicated by default; ``shard_spatial`` instead
+    partitions the frame H axis over the mesh's 'spatial' axis — each
+    device then holds only its H-slice of the dataset, the per-step gather
+    is sharding-preserving, and the convolutions run spatially partitioned
+    (GSPMD halo exchange), cutting per-device HBM footprint by the spatial
+    factor."""
     imgs, gts = [], []
     for i in range(len(dataset)):
         img, gt = dataset.make_raw_pair(i)
@@ -76,8 +82,10 @@ def upload(dataset: DAVIS2016, mesh=None):
     imgs, gts = np.stack(imgs), np.stack(gts)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        repl = NamedSharding(mesh, P())
-        return jax.device_put(imgs, repl), jax.device_put(gts, repl)
+        spec = (P(None, 'spatial') if shard_spatial
+                and 'spatial' in mesh.axis_names else P())
+        sh = NamedSharding(mesh, spec)
+        return jax.device_put(imgs, sh), jax.device_put(gts, sh)
     return jax.device_put(imgs), jax.device_put(gts)
 
 
@@ -147,8 +155,11 @@ class ChunkEngine:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(self.mesh, P())
             bsh = NamedSharding(self.mesh, P(None, 'data'))  # (T, B) on B
+            # resident data args (positions 2-3) keep their own committed
+            # sharding (replicated, or H-sharded over 'spatial' — see
+            # upload(shard_spatial=True))
             fn = jax.jit(run_chunk,
-                         in_shardings=(repl, repl, repl, repl, bsh, bsh,
+                         in_shardings=(repl, repl, None, None, bsh, bsh,
                                        None),
                          out_shardings=(repl, repl))
         self._fns[key] = fn
@@ -225,7 +236,8 @@ def train_offline_resident(
         snapshot_every_n: int = 40,
         snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
         log_fn: Optional[Callable[[EpochStats], None]] = None,
-        chunk_steps: int = 50, mesh=None) -> TrainState:
+        chunk_steps: int = 50, mesh=None,
+        shard_spatial: bool = False) -> TrainState:
     """Drop-in for :func:`~fosvos_tpu.train.offline.train_offline` with the
     dataset resident in HBM (identical reference semantics and cadences;
     matches the standard path to float tolerance when ``augment=False`` —
@@ -246,7 +258,7 @@ def train_offline_resident(
 
     engine = ChunkEngine(_offline_step_fn(model, optimizer),
                          meanval=dataset.meanval, mesh=mesh)
-    d_imgs, d_gts = upload(dataset, mesh=mesh)
+    d_imgs, d_gts = upload(dataset, mesh=mesh, shard_spatial=shard_spatial)
     rng = np.random.RandomState(seed)
 
     for epoch in range(start_epoch, n_epochs):

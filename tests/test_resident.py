@@ -109,6 +109,40 @@ def test_resident_data_parallel_matches_single(db, tiny_model):
                        for a, b in zip(got, want))
 
 
+def test_resident_spatial_sharding_matches(db, tiny_model):
+    """2D mesh: resident arrays H-sharded over 'spatial', batch over
+    'data' — same params as the unsharded resident run, and each device
+    holds only its H-slice of the dataset.
+
+    SGD preset: Adam divides by sqrt(v)+eps, which over several steps
+    amplifies the mesh's reduction-order float noise to ~1e-4 (measured
+    identical with replicated data, so it is the dp reduction, not the
+    spatial partitioning); SGD keeps the comparison at gradient-parity
+    level."""
+    from fosvos_tpu.parallel import make_mesh
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    mesh = make_mesh(('data', 'spatial'), shape=(4, 2))
+    preset = optimizers.Preset(family='sgd', lr=1e-4, grouped=False)
+
+    def run(m, spatial):
+        return resident.train_offline_resident(
+            model, variables, ds, preset=preset,
+            n_epochs=1, batch_size=4, avg_grad_every_n=1,
+            augment=False, seed=0, mesh=m, shard_spatial=spatial)
+
+    state_sp = run(mesh, True)
+    state_1 = run(None, False)
+    got = jax.tree.leaves(jax.tree.map(np.asarray, state_sp.params))
+    want = jax.tree.leaves(jax.tree.map(np.asarray, state_1.params))
+    assert got and all(np.allclose(a, b, atol=5e-6, rtol=1e-5)
+                       for a, b in zip(got, want))
+    # the resident frames really are H-sharded per device
+    d_imgs, _ = resident.upload(ds, mesh=mesh, shard_spatial=True)
+    shard_shape = d_imgs.sharding.shard_shape(d_imgs.shape)
+    assert shard_shape[1] == d_imgs.shape[1] // 2
+
+
 def test_resident_mesh_batch_divisibility(db, tiny_model):
     from fosvos_tpu.parallel import make_mesh
     model, variables = tiny_model
