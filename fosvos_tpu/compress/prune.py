@@ -514,7 +514,6 @@ def prune_iteratively(model, arch: ResNetArch, variables,
                         'batch_stats': state.batch_stats}
             for e in range(n_epochs_select):
                 if resident_dataset is not None:
-                    from fosvos_tpu.train import resident as resident_mod
                     idxs, flips, schedule = resident_mod.epoch_plan(
                         len(resident_dataset), 1, res_rng, augment=True,
                         chunk_steps=resident_chunk_steps)
@@ -540,7 +539,6 @@ def prune_iteratively(model, arch: ResNetArch, variables,
             # fine-tune (prune.py:254-261)
             for e in range(n_epochs_finetune):
                 if resident_dataset is not None:
-                    from fosvos_tpu.train import resident as resident_mod
                     idxs, flips, schedule = resident_mod.epoch_plan(
                         len(resident_dataset), 1, res_rng, augment=True,
                         chunk_steps=resident_chunk_steps)

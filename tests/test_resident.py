@@ -226,6 +226,78 @@ def test_resident_prune_pipeline(db, tiny_model):
     assert all(np.isfinite(v) for vs in w.tags.values() for _, v in vs)
 
 
+def test_resident_offline_cli(db, tmp_path, monkeypatch):
+    """--device-resident (+ --data-parallel: 2D mesh auto-layout on the
+    virtual 8-device mesh) through the real train_offline CLI."""
+    monkeypatch.chdir(tmp_path)
+    from fosvos_tpu.cli import train_offline as cli_mod
+    from fosvos_tpu.models import OSVOSResNet
+    from fosvos_tpu.models import resnet_arch as arch_fn
+    from fosvos_tpu.runtime import checkpoint, providers
+
+    orig = cli_mod.OfflineSettings
+
+    def small(**kw):
+        kw.update(n_epochs=2, snapshot_every_n=2, batch_size_train=1)
+        return orig(**kw)
+
+    monkeypatch.setattr(cli_mod, 'OfflineSettings', small)
+
+    def tiny_init(self, arch=None):
+        import jax
+        import jax.numpy as jnp
+        self.model = OSVOSResNet(arch=arch or arch_fn(
+            18, scale_down_exponent=4))
+        self.variables = dict(self.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 3), jnp.float32),
+            train=False))
+        return self.model
+
+    monkeypatch.setattr(providers.NetworkProvider, 'init_network', tiny_init)
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--device-resident', '--no-testing',
+                  '--db-root-dir', db])
+    assert checkpoint.exists('models', 'resnet18_11_epoch-1')
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--device-resident', '--data-parallel', '--no-testing',
+                  '--db-root-dir', db])
+    assert checkpoint.exists('models', 'resnet18_11_epoch-1')
+
+
+def test_resident_mimic_cli_online_ignores_flag(db, tmp_path, monkeypatch,
+                                                caplog):
+    """--device-resident on a 1-frame online mimic run falls back to the
+    standard loader with a log line (nothing resident to win)."""
+    monkeypatch.chdir(tmp_path)
+    from fosvos_tpu.cli import mimic as cli_mod
+    from fosvos_tpu.models import arch as arch_mod
+    from fosvos_tpu.runtime import checkpoint as ckpt
+
+    teacher_model = OSVOSResNet(arch=arch_mod.resnet_arch(
+        18, scale_down_exponent=4))
+    tvars = teacher_model.init(jax.random.PRNGKey(3),
+                               jnp.zeros((1, 32, 48, 3), jnp.float32),
+                               train=False)
+    ckpt.save('teacher', 't', jax.tree.map(np.asarray, tvars),
+              teacher_model.arch.to_json())
+    real_arch = arch_mod.resnet_arch
+    monkeypatch.setattr(
+        cli_mod, 'resnet_arch',
+        lambda v=18, scale_down_exponent=0:
+        real_arch(18, scale_down_exponent=max(scale_down_exponent, 4)))
+
+    import logging
+    with caplog.at_level(logging.INFO):
+        cli_mod.main(['-s', 'synth-swan', '--db-root-dir', db,
+                      '--n-epochs', '2', '--scale-down-exponents', '5',
+                      '--criterion', 'MSE', '--teacher-path', 'teacher/t.npz',
+                      '--device-resident', '--no-tensorboard'])
+    assert any('ignored for a 1-frame online run' in r.message
+               for r in caplog.records)
+
+
 def test_resident_batch_gathers(db, tiny_model):
     """batch_size > 1: per-step gather of several resident frames."""
     model, variables = tiny_model
