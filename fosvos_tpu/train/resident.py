@@ -74,12 +74,15 @@ def upload(dataset: DAVIS2016, mesh=None, shard_spatial: bool = False):
     is sharding-preserving, and the convolutions run spatially partitioned
     (GSPMD halo exchange), cutting per-device HBM footprint by the spatial
     factor."""
-    imgs, gts = [], []
-    for i in range(len(dataset)):
-        img, gt = dataset.make_raw_pair(i)
-        imgs.append(img)
-        gts.append(gt[..., None])
-    imgs, gts = np.stack(imgs), np.stack(gts)
+    # decode on the native C++ prefetch threads when available (completion
+    # order; re-sorted by index)
+    from fosvos_tpu.data import loader as data_loader
+    pairs = [None] * len(dataset)
+    for i, img, gt in data_loader.iterate_samples(
+            dataset, list(range(len(dataset))), raw=True):
+        pairs[i] = (img, gt)
+    imgs = np.stack([p[0] for p in pairs])
+    gts = np.stack([p[1][..., None] for p in pairs])
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = (P(None, 'spatial') if shard_spatial
