@@ -88,6 +88,14 @@ def upload(dataset: DAVIS2016, mesh=None, shard_spatial: bool = False):
         spec = (P(None, 'spatial') if shard_spatial
                 and 'spatial' in mesh.axis_names else P())
         sh = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            # multi-host: every process decodes the (global) split; build
+            # the global array from each host's local view — device_put
+            # cannot target non-addressable devices
+            return (jax.make_array_from_process_local_data(sh, imgs,
+                                                           imgs.shape),
+                    jax.make_array_from_process_local_data(sh, gts,
+                                                           gts.shape))
         return jax.device_put(imgs, sh), jax.device_put(gts, sh)
     return jax.device_put(imgs), jax.device_put(gts)
 
@@ -178,14 +186,27 @@ class ChunkEngine:
         the caller stacks and reads back once.
         """
         native_hw = tuple(d_imgs.shape[1:3])
+
+        def place(a):
+            a = np.ascontiguousarray(a)
+            if self.mesh is not None and jax.process_count() > 1:
+                # multi-host: numpy can't carry a non-trivial sharding into
+                # jit; values are identical on every process (epoch_plan is
+                # seed-driven), so the global array is each host's local view
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                bsh = NamedSharding(self.mesh, P(None, 'data'))
+                return jax.make_array_from_process_local_data(bsh, a,
+                                                              a.shape)
+            return a
+
         auxes = []
         pos = 0
         for scale, n in schedule:
             fn = self._chunk_fn(scale, native_hw)
             state, aux = fn(state, ctx, d_imgs, d_gts,
-                            jnp.asarray(idxs[pos:pos + n]),
-                            jnp.asarray(flips[pos:pos + n]),
-                            jnp.asarray(epoch_frac, jnp.float32))
+                            place(idxs[pos:pos + n]),
+                            place(flips[pos:pos + n]),
+                            np.float32(epoch_frac))
             auxes.append(aux)
             pos += n
         assert pos == len(idxs)

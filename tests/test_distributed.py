@@ -35,6 +35,31 @@ x = jax.make_array_from_process_local_data(
 total = jax.jit(lambda a: a.sum())(x)
 assert float(total) == float(global_batch.sum()), float(total)
 assert distributed.is_primary() == (pid == 0)
+
+# device-resident data-parallel epoch over the cross-process mesh: every
+# host decodes the (identical, seeded) synthetic split, upload() builds the
+# global resident arrays via make_array_from_process_local_data
+import tempfile
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.train import optimizers, resident
+
+data_axis = mesh.shape['data']
+n_seqs = max(1, -(-data_axis // 4))   # >= data_axis frames (4 per seq)
+root = synthetic.generate(tempfile.mkdtemp(), size=(32, 48),
+                          sequences=[f's{k}' for k in range(n_seqs)],
+                          val_sequences=['v0'])
+ds = davis.DAVIS2016(mode='train', db_root_dir=root)
+model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=5))
+import jax.numpy as jnp
+variables = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+state = resident.train_offline_resident(
+    model, variables, ds,
+    preset=optimizers.Preset(family='sgd', lr=1e-4, grouped=False),
+    n_epochs=1, batch_size=data_axis, avg_grad_every_n=1,
+    augment=False, seed=0, mesh=mesh)
+assert int(state.step) == len(ds) // data_axis >= 1
 print('WORKER-OK', pid)
 '''
 
