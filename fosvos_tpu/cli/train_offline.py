@@ -70,9 +70,6 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
 
         if getattr(settings, 'device_resident', False):
             from fosvos_tpu.train import resident
-            if test_db is not None:
-                log.warning('--test-while-training is not supported in '
-                            '--device-resident mode; skipping test passes.')
             mesh = None
             batch = settings.batch_size_train
             shard_spatial = False
@@ -101,7 +98,10 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                 snapshot_every_n=settings.snapshot_every_n,
                 snapshot_fn=snapshot,
                 log_fn=log_epoch, mesh=mesh,
-                shard_spatial=shard_spatial)
+                shard_spatial=shard_spatial,
+                test_dataset=test_db,
+                test_every_n=settings.test_every_n,
+                test_log_fn=log_test)
         elif getattr(settings, 'data_parallel', False):
             state = _train_data_parallel(net_provider, db_train, settings,
                                          log_epoch, snapshot,

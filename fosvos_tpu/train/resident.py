@@ -251,6 +251,18 @@ def _offline_step_fn(model, optimizer) -> StepFn:
     return step
 
 
+def _offline_eval_step_fn(model) -> StepFn:
+    """Loss-only eval pass (test-while-training, train_offline.py:115-136)
+    as a ChunkEngine step: carry is untouched, ctx = (params, stats)."""
+    def step(carry, ctx, imgs, gts, epoch_frac):
+        params, stats = ctx
+        outs = model.apply({'params': params, 'batch_stats': stats}, imgs,
+                           train=False)
+        _, losses = deep_supervision_loss(outs, gts, jnp.zeros(()))
+        return carry, jnp.stack(losses)
+    return step
+
+
 def train_offline_resident(
         model, variables, dataset: DAVIS2016,
         preset: Optional[optimizers.Preset] = None,
@@ -261,7 +273,11 @@ def train_offline_resident(
         snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
         log_fn: Optional[Callable[[EpochStats], None]] = None,
         chunk_steps: int = 50, mesh=None,
-        shard_spatial: bool = False) -> TrainState:
+        shard_spatial: bool = False,
+        test_dataset: Optional[DAVIS2016] = None,
+        test_every_n: int = 5,
+        test_log_fn: Optional[Callable[[EpochStats], None]] = None
+        ) -> TrainState:
     """Drop-in for :func:`~fosvos_tpu.train.offline.train_offline` with the
     dataset resident in HBM (identical reference semantics and cadences;
     matches the standard path to float tolerance when ``augment=False`` —
@@ -285,6 +301,13 @@ def train_offline_resident(
     d_imgs, d_gts = upload(dataset, mesh=mesh, shard_spatial=shard_spatial)
     rng = np.random.RandomState(seed)
 
+    eval_engine = d_timgs = d_tgts = None
+    if test_dataset is not None:
+        eval_engine = ChunkEngine(_offline_eval_step_fn(model),
+                                  meanval=test_dataset.meanval, mesh=mesh)
+        d_timgs, d_tgts = upload(test_dataset, mesh=mesh,
+                                 shard_spatial=shard_spatial)
+
     for epoch in range(start_epoch, n_epochs):
         t0 = time.perf_counter()
         idxs, flips, schedule = epoch_plan(len(dataset), batch_size, rng,
@@ -301,5 +324,24 @@ def train_offline_resident(
         if snapshot_fn is not None and epoch % snapshot_every_n == \
                 snapshot_every_n - 1 and epoch != 0:
             snapshot_fn(epoch, state)
+
+        # test-while-training loss pass (reference train_offline.py:115-136),
+        # also over resident data: no per-frame transfers
+        if eval_engine is not None and \
+                epoch % test_every_n == test_every_n - 1:
+            t1 = time.perf_counter()
+            n_t = len(test_dataset) // batch_size
+            tidx = np.arange(n_t * batch_size,
+                             dtype=np.int32).reshape(n_t, batch_size)
+            tflips = np.zeros((n_t, batch_size), bool)
+            _, tauxes = eval_engine.run_epoch(
+                jnp.zeros(()), (state.params, state.batch_stats),
+                d_timgs, d_tgts, tidx, tflips, [(1.0, n_t)], 0.0)
+            tmean = (np.asarray(jnp.concatenate(tauxes)).mean(axis=0)
+                     if tauxes else np.zeros(5))
+            if test_log_fn is not None:
+                test_log_fn(EpochStats(
+                    epoch=epoch, mean_losses=tmean,
+                    wall_time_s=time.perf_counter() - t1))
 
     return state

@@ -298,6 +298,55 @@ def test_resident_mimic_cli_online_ignores_flag(db, tmp_path, monkeypatch,
                for r in caplog.records)
 
 
+def test_resident_test_while_training(db, tiny_model):
+    """Resident eval pass (test-while-training) over the resident test
+    split, at the reference cadence, matching the standard eval step."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    test_ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    tlogs = []
+    state = resident.train_offline_resident(
+        model, variables, ds, preset=optimizers.offline_variant(11),
+        n_epochs=2, batch_size=1, avg_grad_every_n=2,
+        augment=False, seed=0,
+        test_dataset=test_ds, test_every_n=2, test_log_fn=tlogs.append)
+    assert len(tlogs) == 1 and tlogs[0].epoch == 1
+    assert np.isfinite(tlogs[0].mean_losses).all()
+
+    # cross-check against the standard eval step on the same params
+    trainer = offline.OfflineTrainer(model, optimizers.offline_variant(11),
+                                     avg_grad_every_n=2,
+                                     device_preprocess=True,
+                                     meanval=test_ds.meanval)
+    trainer.init_state(variables)
+    want = []
+    for i in range(len(test_ds)):
+        img, gt = test_ds.make_img_gt_pair(i)   # normalized floats
+        want.append(trainer._eval_step(state.params, state.batch_stats,
+                                       jnp.asarray(img[None]),
+                                       jnp.asarray(gt[None, ..., None])))
+    want = np.asarray(jnp.stack(want)).mean(axis=0)
+    assert np.allclose(tlogs[0].mean_losses, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resident_vgg_no_batch_stats(db):
+    """VGG has no BatchNorm: the resident step must handle an empty
+    batch_stats collection like the standard trainer does."""
+    from fosvos_tpu.models import OSVOSVGG
+    model = OSVOSVGG()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32))
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db,
+                         seq_name='synth-bear')
+    stats = []
+    resident.train_offline_resident(
+        model, dict(variables), ds,
+        preset=optimizers.vgg_offline_preset(),
+        n_epochs=1, batch_size=1, avg_grad_every_n=2,
+        augment=False, seed=0, log_fn=stats.append)
+    assert np.isfinite(stats[0].mean_losses).all()
+
+
 def test_resident_batch_gathers(db, tiny_model):
     """batch_size > 1: per-step gather of several resident frames."""
     model, variables = tiny_model
