@@ -334,8 +334,10 @@ def train_offline_resident(
             tidx = np.arange(n_t * batch_size,
                              dtype=np.int32).reshape(n_t, batch_size)
             tflips = np.zeros((n_t, batch_size), bool)
+            # numpy carry: multi-host-safe (a locally-committed device
+            # scalar cannot be resharded onto a cross-process mesh)
             _, tauxes = eval_engine.run_epoch(
-                jnp.zeros(()), (state.params, state.batch_stats),
+                np.zeros((), np.float32), (state.params, state.batch_stats),
                 d_timgs, d_tgts, tidx, tflips, [(1.0, n_t)], 0.0)
             tmean = (np.asarray(jnp.concatenate(tauxes)).mean(axis=0)
                      if tauxes else np.zeros(5))

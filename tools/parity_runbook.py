@@ -57,7 +57,8 @@ def run_parity(db_root_dir: str, work_dir: str,
                pretrained_path: str = None, offline_ckpt: str = None,
                network: str = 'resnet18',
                n_offline_epochs: int = 240, n_online_epochs: int = 10000,
-               fanout: bool = False, bf16: bool = False) -> dict:
+               fanout: bool = False, bf16: bool = False,
+               device_resident: bool = True) -> dict:
     """Run stages A-D inside ``work_dir``; returns the J&F summary dict."""
     from fosvos_tpu.cli import evaluate as evaluate_cli
     from fosvos_tpu.cli import train_offline as offline_cli
@@ -89,6 +90,10 @@ def run_parity(db_root_dir: str, work_dir: str,
                 argv += ['--pretrained-path', pretrained_path]
             if bf16:
                 argv += ['--bf16']
+            if device_resident:
+                # HBM-resident split: ~1 h instead of ~3.6 h for the full
+                # 240-epoch budget on one chip (BENCHMARKS.md)
+                argv += ['--device-resident']
             offline_cli.main(argv)
 
         # --- B: online sweep ----------------------------------------------
@@ -143,13 +148,17 @@ def main(argv=None):
     ap.add_argument('--n-online-epochs', default=10000, type=int)
     ap.add_argument('--fanout', action='store_true')
     ap.add_argument('--bf16', action='store_true')
+    ap.add_argument('--no-device-resident', action='store_true',
+                    help='offline stage: use the standard loader loop '
+                         'instead of the HBM-resident dataset mode')
     a = ap.parse_args(argv)
     run_parity(a.db_root_dir, a.work_dir,
                pretrained_path=a.pretrained_path,
                offline_ckpt=a.offline_ckpt, network=a.network,
                n_offline_epochs=a.n_offline_epochs,
                n_online_epochs=a.n_online_epochs,
-               fanout=a.fanout, bf16=a.bf16)
+               fanout=a.fanout, bf16=a.bf16,
+               device_resident=not a.no_device_resident)
 
 
 if __name__ == '__main__':
