@@ -29,7 +29,9 @@ def get_experiment_id(learning_rate, criterion, criterion_from, learn_from):
 
 def resolve_teacher_path(seq_name: Optional[str], is_offline: bool,
                          override: Optional[str] = None,
-                         models_dir=None) -> Optional[str]:
+                         models_dir=None,
+                         teacher_epoch: Optional[int] = None
+                         ) -> Optional[str]:
     """Teacher checkpoint per the reference contract (``mimic.py:19-30``):
 
     * offline mode — the offline parent, ``resnet18_11_epoch-239``;
@@ -37,17 +39,23 @@ def resolve_teacher_path(seq_name: Optional[str], is_offline: bool,
       ``resnet18_11_11_<seq>_epoch-9999`` (the output of the online sweep),
       so each sequence distills from its own specialist.
 
-    ``override`` (the ``--teacher-path`` flag) wins when given. Resolution
-    tries the framework's npz stem first, then the reference's ``.pth``
-    name, under ``models_dir``.
+    ``override`` (the ``--teacher-path`` flag) wins when given;
+    ``teacher_epoch`` (``--teacher-epoch``) replaces the reference's
+    default epoch (239 offline / 9999 online) for sweeps run with a
+    non-default budget. Resolution tries the framework's npz stem first,
+    then the reference's ``.pth`` name, under ``models_dir``.
     """
     if override:
         return override
     d = Path(models_dir if models_dir is not None else Paths.models_dir())
     if is_offline:
-        stem = checkpoint.checkpoint_stem('resnet18', 239, 11)
+        stem = checkpoint.checkpoint_stem(
+            'resnet18', teacher_epoch if teacher_epoch is not None else 239,
+            11)
     else:
-        stem = checkpoint.checkpoint_stem('resnet18', 9999, 11, 11, seq_name)
+        stem = checkpoint.checkpoint_stem(
+            'resnet18', teacher_epoch if teacher_epoch is not None else 9999,
+            11, 11, seq_name)
     if checkpoint.exists(str(d), stem):
         return str(d / stem)
     pth = d / (stem + '.pth')
@@ -109,6 +117,15 @@ def main(argv=None):
                              'reference contract resolves it (offline: the '
                              'offline parent, online: the per-sequence '
                              'adapted teacher, mimic.py:19-30)')
+    parser.add_argument('--teacher-epoch', default=None, type=int,
+                        help='epoch of the teacher checkpoint when the '
+                             'sweep was run with a non-default budget '
+                             '(default: 239 offline / 9999 online)')
+    parser.add_argument('--allow-fresh-teacher', action='store_true',
+                        help='fall back to a fresh-init teacher when no '
+                             'checkpoint resolves (default: hard error — '
+                             'distilling from random weights is never '
+                             'intended)')
     parser.add_argument('--no-tensorboard', action='store_true')
     parser.add_argument('--device-resident', action='store_true',
                         help='offline mode: distill over the HBM-resident '
@@ -149,9 +166,19 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
 
     teacher_model, teacher_vars = (None, None)
     if args.learn_from == 'teacher':
-        teacher_path = resolve_teacher_path(seq_name, args.offline,
-                                            override=args.teacher_path)
+        teacher_path = resolve_teacher_path(
+            seq_name, args.offline, override=args.teacher_path,
+            teacher_epoch=getattr(args, 'teacher_epoch', None))
         log.info('Teacher for %s: %s', seq_name or 'offline', teacher_path)
+        if teacher_path is None and not getattr(args, 'allow_fresh_teacher',
+                                                False):
+            raise SystemExit(
+                f'No teacher checkpoint found for '
+                f'{seq_name or "offline"} under {Paths.models_dir()} '
+                f'(expected the reference naming, mimic.py:19-30). Run the '
+                f'online sweep / offline training first, or pass '
+                f'--teacher-path / --teacher-epoch; --allow-fresh-teacher '
+                f'overrides this check.')
         teacher_model, teacher_vars = load_teacher(teacher_path)
 
     student_arch = resnet_arch(18, scale_down_exponent=sde)
@@ -173,11 +200,7 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
     aug_rng = np.random.RandomState(0)
 
     def train_batches():
-        for i in np.random.RandomState(aug_rng.randint(2**31)) \
-                .permutation(len(db_train)):
-            img, gt = db_train.make_img_gt_pair(int(i))
-            s = _tf.train_augment({'image': img, 'gt': gt}, aug_rng)
-            yield s['image'][None], s['gt'][None, ..., None]
+        return _tf.augmented_frame_stream(db_train, aug_rng)
 
     def val_batches():
         for i in range(len(db_val)):
@@ -194,9 +217,11 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
                             student_arch.to_json())
 
         from fosvos_tpu.runtime.tb import NullWriter, get_summary_writer
+        # reference path mimic.py:87 plus a per-sequence subdir so a sweep
+        # doesn't rmtree the previous sequences' scalars
         writer = (NullWriter() if args.no_tensorboard else
-                  get_summary_writer(       # reference mimic.py:87
-                      Path('tensorboard') / path_stem / str(sde)))
+                  get_summary_writer(
+                      Path('tensorboard') / path_stem / str(sde) / sub))
         use_resident = getattr(args, 'device_resident', False)
         if use_resident and seq_name is not None:
             log.info('--device-resident ignored for a 1-frame online run')

@@ -123,11 +123,7 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
     aug_rng = np.random.RandomState(0)
 
     def batches_fn():
-        for i in np.random.RandomState(aug_rng.randint(2**31)) \
-                .permutation(len(db)):
-            img, gt = db.make_img_gt_pair(int(i))
-            s = _tf.train_augment({'image': img, 'gt': gt}, aug_rng)
-            yield s['image'][None], s['gt'][None, ..., None]
+        return _tf.augmented_frame_stream(db, aug_rng)
 
     models_dir = Path('models') / path_stem
     results_dir = Path('results') / path_stem

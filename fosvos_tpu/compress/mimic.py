@@ -86,26 +86,11 @@ class MimicTrainer:
         crit = _criterion_fn(self.criterion)
         targets = self._targets
 
-        @jax.jit
-        def train_step(state: TrainState, teacher_variables, images, gts,
-                       epoch_frac):
-            ts = targets(teacher_variables, images, gts)
-
-            def loss_fn(p):
-                outs, mut = student.apply(
-                    {'params': p, 'batch_stats': state.batch_stats}, images,
-                    train=True, mutable=['batch_stats'])
-                losses = [crit(o, t) for o, t in zip(outs, ts)]
-                total = (1.0 - epoch_frac) * sum(losses[:-1]) + losses[-1]
-                return total, mut['batch_stats']
-
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params2 = optax.apply_updates(state.params, updates)
-            return TrainState(params=params2, batch_stats=new_stats,
-                              opt_state=opt_state, step=state.step + 1), loss
+        # single source for the distillation step — shared with the
+        # resident engine (same signature: state, teacher_vars, batch, frac)
+        train_step = jax.jit(_mimic_step_fn(
+            self.student_model, self.teacher_model, optimizer,
+            self.criterion, self.learn_from))
 
         @jax.jit
         def eval_step(state: TrainState, teacher_variables, images, gts,

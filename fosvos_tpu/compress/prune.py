@@ -239,31 +239,13 @@ class MaskedFineTuner:
 
     def _build(self, params):
         optimizer = optimizers.make_optimizer(self._preset, params)
-        model = self.model
-        is_offline = self.is_offline
+        # single source for the masked fine-tune step — shared with the
+        # resident engine (epoch_frac is unused by this loss)
+        step_fn = _finetune_step_fn(self.model, optimizer, self.is_offline)
 
         @jax.jit
         def step(state: TrainState, masks, images, gts):
-            def loss_fn(p):
-                outs, mut = model.apply(
-                    {'params': p, 'batch_stats': state.batch_stats}, images,
-                    train=True, mutable=['batch_stats'], channel_masks=masks)
-                if is_offline:
-                    losses = [class_balanced_cross_entropy_loss(
-                        o, gts, size_average=False) for o in outs]
-                    total = sum(losses)
-                else:
-                    total = class_balanced_cross_entropy_loss(
-                        outs[-1], gts, size_average=False)
-                return total, mut['batch_stats']
-
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params2 = optax.apply_updates(state.params, updates)
-            return TrainState(params=params2, batch_stats=new_stats,
-                              opt_state=opt_state, step=state.step + 1), loss
+            return step_fn(state, masks, images, gts, 0.0)
 
         self._optimizer = optimizer
         self._step = step

@@ -95,6 +95,20 @@ def train_augment(sample: Sample, rng: np.random.RandomState,
     return sample
 
 
+def augmented_frame_stream(dataset, rng: np.random.RandomState):
+    """Seeded, shuffled flip+multi-scale stream of (1,H,W,C)/(1,H,W,1)
+    batches — the reference train-loader contract (``io_helper.py:62-70``)
+    shared by the prune (ranking/fine-tune) and mimic (distillation) CLIs.
+
+    A fresh epoch permutation is drawn from ``rng`` each call; call again
+    for the next epoch."""
+    for i in np.random.RandomState(rng.randint(2 ** 31)) \
+            .permutation(len(dataset)):
+        img, gt = dataset.make_img_gt_pair(int(i))
+        s = train_augment({'image': img, 'gt': gt}, rng)
+        yield s['image'][None], s['gt'][None, ..., None]
+
+
 # ---------------------------------------------------------------------------
 # Device tier
 # ---------------------------------------------------------------------------

@@ -37,8 +37,9 @@ def seg2bmap(seg: np.ndarray) -> np.ndarray:
     (``python/lib/davis/measures/f_boundary.py``, David Martin's BSDS
     convention): a pixel is boundary iff its value differs from its east,
     south, or south-east neighbour — i.e. transitions are marked on *both*
-    sides, at pixel-pair granularity. Last row/column consider only the
-    in-bounds east diff; the corner is never boundary.
+    sides, at pixel-pair granularity. The last row considers only its east
+    diff and the last column only its south diff (the toolkit's edge
+    handling); the corner is never boundary.
 
     (The toolkit also supports resampling the map to a different
     width/height; DAVIS masks are evaluated at native resolution, so that
@@ -53,7 +54,7 @@ def seg2bmap(seg: np.ndarray) -> np.ndarray:
     se[:-1, :-1] = seg[1:, 1:]
     b = (seg ^ e) | (seg ^ s) | (seg ^ se)
     b[-1, :] = seg[-1, :] ^ e[-1, :]
-    b[:, -1] = seg[:, -1] ^ e[:, -1]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
     b[-1, -1] = False
     return b
 

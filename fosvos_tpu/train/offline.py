@@ -199,24 +199,41 @@ def prefetch_to_device(batches, put_fn=None, depth: int = 2):
     put = put_fn if put_fn is not None else jax.device_put
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     done = object()
+    stop = threading.Event()
+
+    def enqueue(item) -> bool:
+        # bounded put polling the stop flag: if the consumer is gone
+        # (exception / early break closed the generator), the worker drops
+        # its device buffers and exits instead of blocking forever
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(put(b))
+                if not enqueue(put(b)):
+                    return
         except BaseException as e:   # propagate into the consumer
-            q.put(e)
+            enqueue(e)
             return
-        q.put(done)
+        enqueue(done)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 @dataclasses.dataclass

@@ -330,9 +330,13 @@ def train_offline_resident(
         if eval_engine is not None and \
                 epoch % test_every_n == test_every_n - 1:
             t1 = time.perf_counter()
-            n_t = len(test_dataset) // batch_size
-            tidx = np.arange(n_t * batch_size,
-                             dtype=np.int32).reshape(n_t, batch_size)
+            # every test frame is evaluated: the trailing partial batch is
+            # padded by repeating the last frame (a monitoring signal, not
+            # a metric — same policy as the data-parallel eval pass)
+            n_t = -(-len(test_dataset) // batch_size)
+            flat = np.minimum(np.arange(n_t * batch_size),
+                              len(test_dataset) - 1)
+            tidx = flat.astype(np.int32).reshape(n_t, batch_size)
             tflips = np.zeros((n_t, batch_size), bool)
             # numpy carry: multi-host-safe (a locally-committed device
             # scalar cannot be resharded onto a cross-process mesh)

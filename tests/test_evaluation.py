@@ -48,20 +48,20 @@ def test_seg2bmap_toolkit_convention():
     # interior center and the block's top-left fg pixel are not boundary
     # (all their east/south/se neighbours are fg)
     assert not b[3, 3] and not b[2, 2]
-    # empty mask has no boundary; a full-frame mask keeps the toolkit's
-    # zero-pad quirk: the last column (east diff vs the pad) is boundary,
-    # except the forced-off corner
+    # empty and full-frame masks have no boundary: the toolkit's edge
+    # handling uses the in-bounds east diff on the last row and the
+    # in-bounds SOUTH diff on the last column (not the zero-padded shifts)
     assert not metrics.seg2bmap(np.zeros((6, 6), bool)).any()
-    bf = metrics.seg2bmap(np.ones((6, 6), bool))
-    assert bf[:, -1].sum() == 5 and not bf[-1, -1]
-    assert not bf[:, :-1].any()
-    # mask touching the image edge: edge pixels are boundary only where an
-    # in-bounds transition exists; the corner is never boundary
+    assert not metrics.seg2bmap(np.ones((6, 6), bool)).any()
+    # mask touching the image corner: edge pixels are boundary only where
+    # an in-bounds transition exists; the corner is never boundary
     edge = np.zeros((6, 6), bool)
     edge[4:, 4:] = True
     be = metrics.seg2bmap(edge)
     assert not be[5, 5]          # corner forced off
     assert be[5, 3] and be[3, 4]  # bg pixels adjacent to the block
+    # last column: bg pixel above the block marked via its south diff
+    assert be[3, 5] and not be[4, 5]
 
 
 def test_f_boundary_bound_on_known_offsets():

@@ -65,6 +65,14 @@ def run_parity(db_root_dir: str, work_dir: str,
     from fosvos_tpu.cli import train_online as online_cli
     from fosvos_tpu.runtime import checkpoint
 
+    # resolve user paths BEFORE chdir so relative --db-root-dir /
+    # --pretrained-path / --offline-ckpt keep working from the launch dir
+    db_root_dir = str(Path(db_root_dir).resolve())
+    if pretrained_path:
+        pretrained_path = str(Path(pretrained_path).resolve())
+    if offline_ckpt:
+        offline_ckpt = str(Path(offline_ckpt).resolve())
+
     work = Path(work_dir)
     work.mkdir(parents=True, exist_ok=True)
     cwd = os.getcwd()

@@ -56,13 +56,15 @@ def main():
                         'gt': s['gt'][None, ..., None]})
     t_augment = (time.perf_counter() - t0) / args.n * 1e3
 
-    # device_put (fenced per put)
+    # device_put (fenced by a scalar readback of the LAST transfer —
+    # block_until_ready does not reliably block on the tunneled backend,
+    # CLAUDE.md; a readback of the final in-order result does)
     t0 = time.perf_counter()
     put = []
     for b in batches:
         d = jax.device_put(b)
         put.append(d)
-    jax.block_until_ready(put[-1])
+    np.asarray(put[-1]['gt'][0, 0, 0])
     t_put = (time.perf_counter() - t0) / args.n * 1e3
 
     # compiled step with resident inputs (group per shape)
