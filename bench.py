@@ -7,7 +7,8 @@ discarded, ``experiment_helper.py:29-53``) across the whole zoo:
 
 * vgg16 / resnet18 / resnet34 — batch-64 bf16 (serving throughput) and, for
   the two headline families, batch-1 fp32 (the reference's latency setup, so
-  the vs_baseline comparison is like-for-like);
+  the vs_baseline comparison is like-for-like) plus batch-64 int8 PTQ
+  (compress/quantize.py);
 * a 50%-channel-pruned resnet18 (topology produced by the real
   ``compress.prune.materialize`` path, reference ``prune.py:297-481``);
 * the mimic student at scale_down_exponent=3 (width/8, ``mimic.py:243-244``);
@@ -91,7 +92,11 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
     programs execute in order; enqueue n_runs forwards, fence once with a
     tiny readback — per-call block_until_ready would measure the tunnel).
     Matches the reference's 10-runs/skip-first protocol
-    (experiment_helper.py:29-53); best-of-3 rounds against tunnel noise."""
+    (experiment_helper.py:29-53); best-of-3 rounds against tunnel noise.
+
+    ``dtype='int8'``: post-training-quantized convs (compress/quantize.py,
+    int8 x int8 -> int32 on the MXU), calibrated on a 4-frame slice of the
+    benchmark frames; non-conv stages stay fp32."""
     import jax
     import jax.numpy as jnp
 
@@ -105,22 +110,43 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
     # measured 7x slower than the model itself behind this tunnel
     variables = jax.device_put(variables)
 
-    @jax.jit
-    def forward_masks(variables, images):
-        outs = model.apply(variables, images, train=False)
-        prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
-        return jnp.round(prob * 255.0).astype(jnp.uint8)
+    frames_np = rng.randn(batch, h, w, 3).astype(np.float32) * 40.0
 
-    frames = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32) * 40.0,
-                         jdt)
-    np.asarray(forward_masks(variables, frames))  # compile + warm (skipped)
+    if dtype == 'int8':
+        from fosvos_tpu.compress import quantize
+        qtree = jax.device_put(quantize.build_qparams(
+            model, variables, [frames_np[:4]]).tree())
+
+        @jax.jit
+        def forward_q(variables, qtree, images):
+            outs = quantize.quantized_apply(model, variables, qtree, images)
+            prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
+            return jnp.round(prob * 255.0).astype(jnp.uint8)
+
+        frames = jnp.asarray(frames_np)
+
+        def call():
+            return forward_q(variables, qtree, frames)
+    else:
+        @jax.jit
+        def forward_masks(variables, images):
+            outs = model.apply(variables, images, train=False)
+            prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
+            return jnp.round(prob * 255.0).astype(jnp.uint8)
+
+        frames = jnp.asarray(frames_np, jdt)
+
+        def call():
+            return forward_masks(variables, frames)
+
+    np.asarray(call())  # compile + warm (skipped)
 
     best_dt = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
         r = None
         for _ in range(n_runs):
-            r = forward_masks(variables, frames)
+            r = call()
         np.asarray(r[0, 0, :8])  # in-order fence
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_runs)
     return batch / best_dt
@@ -224,6 +250,11 @@ def main():
         ('resnet18_mimic_sde3_480p_throughput_fps_b64',
          lambda: _build_resnet(18, scale_down_exponent=3), 64, 'bf16',
          'resnet18', 10),
+        # int8 PTQ serving (compress/quantize.py): MXU int8 contractions
+        ('vgg16_480p_throughput_fps_b64_int8', _build_vgg, 64, 'int8',
+         'vgg16', 5),
+        ('resnet18_480p_throughput_fps_b64_int8', lambda: _build_resnet(18),
+         64, 'int8', 'resnet18', 10),
         ('resnet18_480p_latency_fps_b1_fp32', lambda: _build_resnet(18),
          1, 'fp32', 'resnet18', 30),
         # headline metric LAST (single-line consumers read the final line)

@@ -72,7 +72,7 @@ def get_network(variant: str, version: Optional[int],
 
 
 def make_segment_fn(model, variables, boolean_mask: bool,
-                    bf16: bool = False):
+                    bf16: bool = False, int8: bool = False):
     """(submit, fetch) pair for the jitted segmentation step.
 
     ``submit(frame_u8)`` enqueues one frame and returns a device future;
@@ -83,7 +83,8 @@ def make_segment_fn(model, variables, boolean_mask: bool,
 
     ``bf16`` runs the trunk in bfloat16 (the TPU serving precision; masks
     thresholded at 0.5 are insensitive to it, fp32 stays the default for
-    strict parity).
+    strict parity). ``int8`` serves post-training-quantized convs
+    (``compress/quantize.py``), self-calibrating on the first frame.
     """
     import jax
     import jax.numpy as jnp
@@ -95,16 +96,40 @@ def make_segment_fn(model, variables, boolean_mask: bool,
             else a, variables)
     variables = jax.device_put(variables)
 
-    @jax.jit
-    def segment(frame_u8):
-        x = frame_u8.astype(jnp.float32) - mean
-        if bf16:
-            x = x.astype(jnp.bfloat16)
-        outs = model.apply(variables, x[None], train=False)
+    def to_prob(outs):
         prob = jax.nn.sigmoid(outs[-1][0, ..., 0].astype(jnp.float32))
         if boolean_mask:
             prob = (prob >= 0.5).astype(jnp.float32)
         return prob
+
+    def preprocess(frame_u8):
+        x = frame_u8.astype(jnp.float32) - mean
+        return x.astype(jnp.bfloat16) if bf16 else x
+
+    if int8:
+        from fosvos_tpu.compress import quantize
+        state = {}
+
+        @jax.jit
+        def segment_q(variables, qtree, frame_u8):
+            x = preprocess(frame_u8)
+            return to_prob(quantize.quantized_apply(
+                model, variables, qtree, x[None]))
+
+        def submit(frame_u8):
+            if 'qtree' not in state:  # calibrate on the first live frame
+                qp = quantize.build_qparams(
+                    model, variables, [np.asarray(frame_u8)[None]],
+                    preprocess=preprocess)
+                state['qtree'] = jax.device_put(qp.tree())
+            return segment_q(variables, state['qtree'], frame_u8)
+
+        return submit, lambda fut: np.asarray(fut)
+
+    @jax.jit
+    def segment(frame_u8):
+        return to_prob(model.apply(variables, preprocess(frame_u8)[None],
+                                   train=False))
 
     return segment, lambda fut: np.asarray(fut)
 
@@ -140,20 +165,23 @@ def perform_overlay(input_img, prediction, overlay_alpha, overlay_color):
 @click.option('--max-frames', type=int, default=None)
 @click.option('--bf16', is_flag=True, default=False,
               help='bfloat16 trunk (TPU serving precision)')
+@click.option('--int8', is_flag=True, default=False,
+              help='int8 post-training-quantized convs (calibrates on the '
+                   'first frame)')
 @click.option('--pipeline/--no-pipeline', default=True, show_default=True,
               help='double-buffer: segment frame k on device while frame '
                    "k-1's result returns (display lags one frame; hides the "
                    'host<->device round trip)')
 def main(variant, version, webcam, video, model_path, mirror, use_network,
          overlay, boolean_mask, overlay_color, overlay_alpha, headless,
-         max_frames, bf16, pipeline):
+         max_frames, bf16, int8, pipeline):
     import cv2
 
     submit = fetch = None
     if use_network:
         model, variables = get_network(variant, version, model_path)
         submit, fetch = make_segment_fn(model, variables, boolean_mask,
-                                        bf16=bf16)
+                                        bf16=bf16, int8=int8)
 
     last_shown = [None]
 

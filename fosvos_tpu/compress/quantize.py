@@ -1,0 +1,227 @@
+"""Post-training int8 quantization (PTQ) for the serving path.
+
+The reference accelerates its models by channel pruning (``prune.py``) and
+distillation (``mimic.py``); int8 PTQ is the TPU-native third leg of that
+acceleration story (no reference counterpart — TPU MXUs execute
+int8 x int8 -> int32 contractions at up to twice the bf16 rate, and int8
+activations halve the HBM bytes of the conv-adjacent traffic).
+
+Scheme — standard symmetric PTQ:
+
+* conv kernels: **per-output-channel** symmetric int8,
+  ``s_w[c] = amax(|W[..., c]|) / 127``;
+* conv inputs: **per-tensor** symmetric int8 with a calibration-measured
+  scale ``s_x = amax(|x|) / 127`` over representative frames;
+* each conv computes int8 -> int32 on the MXU and dequantizes as
+  ``y = conv_int(x_q, w_q) * (s_x * s_w) (+ bias)`` — the rescale/bias are
+  elementwise and XLA fuses them into the following BN/ReLU stage;
+* deconvs (frozen bilinear upsampling, ``models/common.py:Deconv``) and the
+  fuse accumulation stay float: they are bandwidth-trivial after the fuse
+  contraction and their precision sets mask edge quality.
+
+Implementation: flax **method interceptors** (``nn.intercept_methods``) —
+the float model definitions are reused unchanged; calibration and the
+quantized forward intercept every ``nn.Conv.__call__``. Both run under
+``jax.jit`` (the interceptor fires at trace time), so calibration is one
+compiled forward, not an eager op-by-op walk.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _conv_config(mod: nn.Conv):
+    """(window_strides, padding) in lax.conv_general_dilated terms."""
+    s = mod.strides if mod.strides is not None else 1
+    if isinstance(s, int):
+        s = (s, s)
+    p = mod.padding
+    if isinstance(p, int):
+        p = ((p, p), (p, p))
+    elif isinstance(p, str):
+        pass  # 'SAME' / 'VALID' are accepted verbatim by lax
+    else:
+        p = tuple((lo, hi) if isinstance((lo, hi), tuple) else (lo, hi)
+                  for lo, hi in p)
+    return tuple(s), p
+
+
+def _get_nested(tree: Dict[str, Any], path: str) -> Dict[str, Any]:
+    node = tree
+    for seg in path.split('/'):
+        node = node[seg]
+    return node
+
+
+@dataclasses.dataclass
+class QuantizedParams:
+    """Device-resident quantized state for one model's convs.
+
+    ``kernels[path]``: int8 HWIO kernel; ``wscale[path]``: (C_out,) float32
+    per-channel dequant scale; ``act_scale[path]``: () float32 per-tensor
+    input scale. All three are jit-traceable pytrees so recalibration never
+    recompiles the serving forward.
+    """
+    kernels: Dict[str, jax.Array]
+    wscale: Dict[str, jax.Array]
+    act_scale: Dict[str, jax.Array]
+
+    def tree(self):
+        return {'kernels': self.kernels, 'wscale': self.wscale,
+                'act_scale': self.act_scale}
+
+    @staticmethod
+    def from_tree(t) -> 'QuantizedParams':
+        return QuantizedParams(kernels=dict(t['kernels']),
+                               wscale=dict(t['wscale']),
+                               act_scale=dict(t['act_scale']))
+
+
+def conv_paths(model, variables, example: jax.Array,
+               skip: Sequence[str] = ()) -> List[str]:
+    """All ``nn.Conv`` module paths reached by a forward pass (trace-time
+    walk — masks/pruning configs that skip layers are respected)."""
+    found: List[str] = []
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, nn.Conv) and context.method_name == '__call__':
+            path = '/'.join(mod.path)
+            if path not in found and not any(s in path for s in skip):
+                found.append(path)
+        return next_fun(*args, **kwargs)
+
+    def fn(v, x):
+        with nn.intercept_methods(interceptor):
+            model.apply(v, x, train=False)
+        return 0
+
+    jax.eval_shape(fn, variables, example)
+    return found
+
+
+def calibrate_amax(model, variables, images: jax.Array,
+                   paths: Sequence[str]) -> Dict[str, jax.Array]:
+    """Per-conv-input abs-max over one batch (one compiled forward)."""
+    store: Dict[str, jax.Array] = {}
+    wanted = set(paths)
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (isinstance(mod, nn.Conv) and context.method_name == '__call__'):
+            path = '/'.join(mod.path)
+            if path in wanted:
+                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                store[path] = jnp.maximum(store[path], a) \
+                    if path in store else a
+        return next_fun(*args, **kwargs)
+
+    @jax.jit
+    def fn(v, x):
+        store.clear()
+        with nn.intercept_methods(interceptor):
+            model.apply(v, x, train=False)
+        return dict(store)
+
+    return fn(variables, images)
+
+
+def quantize_weights(variables, paths: Sequence[str]
+                     ) -> Dict[str, Dict[str, jax.Array]]:
+    """Per-output-channel symmetric int8 kernels + dequant scales."""
+    @jax.jit
+    def q(kernel):
+        k32 = kernel.astype(jnp.float32)
+        s = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        kq = jnp.clip(jnp.round(k32 / s), -127, 127).astype(jnp.int8)
+        return kq, s
+
+    kernels, wscale = {}, {}
+    params = variables['params']
+    for path in paths:
+        kq, s = q(_get_nested(params, path)['kernel'])
+        kernels[path], wscale[path] = kq, s
+    return {'kernels': kernels, 'wscale': wscale}
+
+
+def build_qparams(model, variables, calib_batches: Iterable[np.ndarray],
+                  preprocess: Optional[Callable] = None,
+                  skip: Sequence[str] = (),
+                  margin: float = 1.0) -> QuantizedParams:
+    """Calibrate activation scales and quantize weights in one pass.
+
+    ``calib_batches``: iterable of (B,H,W,C) frame batches (uint8 raw or
+    float32 preprocessed); ``preprocess`` maps a raw batch to model input
+    (e.g. ``evaluation.experiment.device_preprocess``). ``margin`` scales
+    the measured abs-max (>1 leaves headroom for unseen activations).
+    """
+    amax: Dict[str, np.ndarray] = {}
+    paths: Optional[List[str]] = None
+    for batch in calib_batches:
+        x = jnp.asarray(batch)
+        if preprocess is not None:
+            x = preprocess(x)
+        if paths is None:
+            paths = conv_paths(model, variables, x, skip=skip)
+        batch_amax = calibrate_amax(model, variables, x, paths)
+        for p, a in batch_amax.items():
+            a = np.asarray(a)
+            amax[p] = np.maximum(amax[p], a) if p in amax else a
+    if not amax:
+        raise ValueError('calibration needs at least one batch')
+    w = quantize_weights(variables, list(amax))
+    act_scale = {p: jnp.asarray(max(float(a) * margin, 1e-12) / 127.0,
+                                jnp.float32)
+                 for p, a in amax.items()}
+    return QuantizedParams(kernels=w['kernels'], wscale=w['wscale'],
+                           act_scale=act_scale)
+
+
+def quantized_apply(model, variables, qtree, x: jax.Array,
+                    train: bool = False, **apply_kwargs):
+    """Forward pass with every calibrated conv running int8 -> int32.
+
+    ``qtree``: ``QuantizedParams.tree()`` (a plain pytree so it can be a jit
+    argument). Non-quantized modules (BN, deconvs, pooling, fuse) run
+    exactly as in the float model.
+    """
+    kernels = qtree['kernels']
+    wscale = qtree['wscale']
+    act_scale = qtree['act_scale']
+    params = variables['params']
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not (isinstance(mod, nn.Conv)
+                and context.method_name == '__call__'):
+            return next_fun(*args, **kwargs)
+        path = '/'.join(mod.path)
+        if path not in kernels:
+            return next_fun(*args, **kwargs)
+        if mod.feature_group_count != 1:
+            return next_fun(*args, **kwargs)
+        xin = args[0]
+        s_x = act_scale[path]
+        xq = jnp.clip(jnp.round(xin.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        wq = kernels[path]
+        strides, padding = _conv_config(mod)
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, wq.shape, ('NHWC', 'HWIO', 'NHWC'))
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=strides, padding=padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (wscale[path] * s_x)
+        if mod.use_bias:
+            y = y + _get_nested(params, path)['bias'].astype(jnp.float32)
+        return y.astype(xin.dtype)
+
+    with nn.intercept_methods(interceptor):
+        return model.apply(variables, x, train=train, **apply_kwargs)

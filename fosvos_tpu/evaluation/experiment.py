@@ -86,6 +86,12 @@ class InferenceEngine:
     throughput); the default fp32 keeps masks bit-comparable with the
     reference pipeline. Sigmoid/quantization always run in fp32.
 
+    ``int8=True`` serves with post-training-quantized convs
+    (``compress/quantize.py``: int8 x int8 -> int32 on the MXU, per-channel
+    weight scales, calibrated per-tensor activation scales). Call
+    :meth:`calibrate` with representative frames before the first forward —
+    otherwise the first ``masks_for_sequence`` batch self-calibrates.
+
     ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip inference.
     The frame batch is sharded over a ``data`` axis and/or the image
     HEIGHT over a ``spatial`` axis (params replicated); GSPMD inserts the
@@ -97,12 +103,18 @@ class InferenceEngine:
     """
 
     def __init__(self, model, batch_size: int = 4, mean=DAVIS_MEAN_BGR,
-                 bf16: bool = False, mesh=None):
+                 bf16: bool = False, mesh=None, int8: bool = False):
         self.model = model
         self.batch_size = batch_size
         self.mean = tuple(mean)
         self.bf16 = bf16
         self.mesh = mesh
+        self.int8 = int8
+        self._qtree = None
+        if int8 and mesh is not None:
+            raise NotImplementedError(
+                'int8 serving is single-chip for now (quantized kernels are '
+                'not wired into the mesh shardings)')
 
         self._img_sharding = None
         jit_kwargs = {}
@@ -134,13 +146,15 @@ class InferenceEngine:
                     if a.dtype == jnp.float32 else a, variables)
             return variables, images
 
-        @functools.partial(jax.jit, **jit_kwargs)
-        def forward_masks(variables, images):
-            variables, images = cast_in(variables, images)
-            outs = model.apply(variables, images, train=False)
+        def to_masks(outs):
             prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
             # reference saves the sigmoid map as PNG (experiment_helper.py:57,64)
             return jnp.round(prob * 255.0).astype(jnp.uint8)
+
+        @functools.partial(jax.jit, **jit_kwargs)
+        def forward_masks(variables, images):
+            variables, images = cast_in(variables, images)
+            return to_masks(model.apply(variables, images, train=False))
 
         @functools.partial(jax.jit, **jit_kwargs)
         def forward_logits(variables, images):
@@ -148,8 +162,37 @@ class InferenceEngine:
             return model.apply(variables, images,
                                train=False)[-1].astype(jnp.float32)
 
-        self._forward_masks = forward_masks
+        @jax.jit
+        def forward_masks_q(variables, qtree, images):
+            from fosvos_tpu.compress import quantize
+            variables, images = cast_in(variables, images)
+            return to_masks(quantize.quantized_apply(
+                model, variables, qtree, images))
+
+        self._forward_masks_float = forward_masks
+        self._forward_masks_q = forward_masks_q
         self._forward_logits = forward_logits
+
+    def calibrate(self, variables, frames: np.ndarray) -> None:
+        """Build int8 scales/kernels from representative frames (uint8 raw
+        or float32 preprocessed). Required before int8 serving; kernels are
+        re-quantized per call, so re-calibrating after a weight update is
+        one call."""
+        from fosvos_tpu.compress import quantize
+        if not self.int8:
+            raise ValueError('engine was not built with int8=True')
+        batch = np.asarray(frames)[:self.batch_size]
+        qp = quantize.build_qparams(
+            self.model, variables, [batch],
+            preprocess=lambda x: device_preprocess(x, self.mean))
+        self._qtree = qp.tree()
+
+    def _forward_masks(self, variables, images):
+        if self.int8:
+            if self._qtree is None:
+                self.calibrate(variables, np.asarray(images))
+            return self._forward_masks_q(variables, self._qtree, images)
+        return self._forward_masks_float(variables, images)
 
     def _put(self, batch: np.ndarray) -> jax.Array:
         if self._img_sharding is not None:

@@ -39,14 +39,22 @@ def time_blocked(fn: Callable, *args, n_runs: int = 10,
     return np.asarray(times)
 
 
+def _fence(result) -> None:
+    """Read back ONE element of the last result. The slice executes on
+    device (in order, after every enqueued program), so only a scalar
+    crosses the link — a full-array ``np.asarray`` would add the whole
+    D2H transfer of the result to the measured span."""
+    np.asarray(jax.tree.leaves(result)[0].ravel()[:1])
+
+
 def time_pipelined(fn: Callable, *args, n_runs: int = 20) -> float:
     """Mean per-call device time via an in-order pipeline fence. Correct on
     single-stream backends (TPU); preferred when host<->device latency would
     otherwise dominate per-call measurements."""
     r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # warm + sync
+    _fence(r)  # warm + sync
     t0 = time.perf_counter()
     for _ in range(n_runs):
         r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    _fence(r)
     return (time.perf_counter() - t0) / n_runs

@@ -50,6 +50,34 @@ def test_run_webcam_on_video(tmp_path, monkeypatch):
                      '--no-mirror'], standalone_mode=False)
 
 
+def test_run_webcam_int8_serving(tmp_path):
+    """--int8 path: first-frame calibration + quantized forward."""
+    import cv2
+    model, variables = _tiny_vars()
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'tiny', variables, model.arch.to_json())
+    video = str(tmp_path / 'clip.avi')
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8, (48, 32))
+    rng = np.random.RandomState(1)
+    for _ in range(4):
+        vw.write(rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8))
+    vw.release()
+
+    from fosvos_tpu.cli import run_webcam
+    run_webcam.main(['--variant', 'prune', '--version', '0',
+                     '--model-path', str(ckpt_dir / 'tiny.npz'),
+                     '--video', video, '--headless', '--max-frames', '3',
+                     '--no-mirror', '--int8'], standalone_mode=False)
+
+    # segment-fn level: int8 prediction tracks the float prediction
+    frame = rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    sub_f, fetch = run_webcam.make_segment_fn(model, variables, False)
+    sub_q, _ = run_webcam.make_segment_fn(model, variables, False, int8=True)
+    pf, pq = fetch(sub_f(frame)), fetch(sub_q(frame))
+    assert pq.shape == pf.shape
+    assert np.mean(np.abs(pq - pf)) < 0.05
+
+
 def test_run_webcam_get_network_resnet_npz(tmp_path):
     from fosvos_tpu.cli import run_webcam
     model, variables = _tiny_vars()

@@ -123,6 +123,35 @@ def test_experiment_test_writes_masks(db, tmp_path):
     np.testing.assert_array_equal(png, masks[2])
 
 
+def test_inference_engine_int8(db):
+    """int8 engine: self-calibrating + explicit-calibration paths produce
+    identical masks, close to the float engine's probability maps."""
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x, train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    images, _, _ = ds.load_sequence('synth-swan', raw=True)
+    assert images.dtype == np.uint8
+
+    eng_f = experiment.InferenceEngine(model, batch_size=2, mean=ds.meanval)
+    eng_q = experiment.InferenceEngine(model, batch_size=2, mean=ds.meanval,
+                                       int8=True)
+    mf = eng_f.masks_for_sequence(variables, images)
+    mq = eng_q.masks_for_sequence(variables, images)  # self-calibrates
+    assert mq.shape == mf.shape and mq.dtype == np.uint8
+    # uint8 probability maps agree within int8 quantization error
+    assert np.mean(np.abs(mq.astype(int) - mf.astype(int))) < 8.0
+
+    eng_q2 = experiment.InferenceEngine(model, batch_size=2, mean=ds.meanval,
+                                        int8=True)
+    eng_q2.calibrate(variables, images)  # same first-batch calibration data
+    np.testing.assert_array_equal(
+        mq, eng_q2.masks_for_sequence(variables, images))
+
+    with pytest.raises(ValueError):
+        eng_f.calibrate(variables, images)
+
+
 def test_experiment_benchmark(db):
     model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
     x = jnp.zeros((1, 32, 48, 3), jnp.float32)
