@@ -96,14 +96,16 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
 
     ``dtype='int8'``: post-training-quantized convs (compress/quantize.py,
     int8 x int8 -> int32 on the MXU), calibrated on a 4-frame slice of the
-    benchmark frames; non-conv stages stay fp32."""
+    benchmark frames. Non-conv stages and inter-layer activations run in
+    bfloat16 — f32 activations would double the HBM footprint of the bf16
+    serving config (VGG b64 480p OOMs)."""
     import jax
     import jax.numpy as jnp
 
     h, w = 480, 854
     rng = np.random.RandomState(0)
-    jdt = jnp.bfloat16 if dtype == 'bf16' else jnp.float32
-    if dtype == 'bf16':
+    jdt = jnp.bfloat16 if dtype in ('bf16', 'int8') else jnp.float32
+    if dtype in ('bf16', 'int8'):
         variables = _bf16(variables)
     # pin params in HBM: numpy leaves (e.g. from prune.materialize) would
     # otherwise be re-transferred over the host link on every call, which
@@ -115,7 +117,7 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
     if dtype == 'int8':
         from fosvos_tpu.compress import quantize
         qtree = jax.device_put(quantize.build_qparams(
-            model, variables, [frames_np[:4]]).tree())
+            model, variables, [jnp.asarray(frames_np[:4], jdt)]).tree())
 
         @jax.jit
         def forward_q(variables, qtree, images):
@@ -123,7 +125,7 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
             prob = jax.nn.sigmoid(outs[-1][..., 0].astype(jnp.float32))
             return jnp.round(prob * 255.0).astype(jnp.uint8)
 
-        frames = jnp.asarray(frames_np)
+        frames = jnp.asarray(frames_np, jdt)
 
         def call():
             return forward_q(variables, qtree, frames)

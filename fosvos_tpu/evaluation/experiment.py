@@ -91,6 +91,9 @@ class InferenceEngine:
     weight scales, calibrated per-tensor activation scales). Call
     :meth:`calibrate` with representative frames before the first forward —
     otherwise the first ``masks_for_sequence`` batch self-calibrates.
+    Composes with ``mesh`` (quantized state replicated, frames sharded)
+    and with ``bf16`` (int8 MXU convs + bfloat16 non-conv stages — the
+    lowest-HBM serving configuration).
 
     ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip inference.
     The frame batch is sharded over a ``data`` axis and/or the image
@@ -111,13 +114,11 @@ class InferenceEngine:
         self.mesh = mesh
         self.int8 = int8
         self._qtree = None
-        if int8 and mesh is not None:
-            raise NotImplementedError(
-                'int8 serving is single-chip for now (quantized kernels are '
-                'not wired into the mesh shardings)')
 
         self._img_sharding = None
+        self._replicated = None
         jit_kwargs = {}
+        q_jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from fosvos_tpu.parallel.mesh import pin_correct_partitioner
@@ -133,8 +134,12 @@ class InferenceEngine:
                     f"size {mesh.shape[data_ax]}")
             self._img_sharding = NamedSharding(mesh, P(data_ax, spatial_ax))
             replicated = NamedSharding(mesh, P())
+            self._replicated = replicated
             jit_kwargs = dict(
                 in_shardings=(replicated, self._img_sharding),
+                out_shardings=self._img_sharding)
+            q_jit_kwargs = dict(
+                in_shardings=(replicated, replicated, self._img_sharding),
                 out_shardings=self._img_sharding)
 
         def cast_in(variables, images):
@@ -162,7 +167,7 @@ class InferenceEngine:
             return model.apply(variables, images,
                                train=False)[-1].astype(jnp.float32)
 
-        @jax.jit
+        @functools.partial(jax.jit, **q_jit_kwargs)
         def forward_masks_q(variables, qtree, images):
             from fosvos_tpu.compress import quantize
             variables, images = cast_in(variables, images)
@@ -185,7 +190,10 @@ class InferenceEngine:
         qp = quantize.build_qparams(
             self.model, variables, [batch],
             preprocess=lambda x: device_preprocess(x, self.mean))
-        self._qtree = qp.tree()
+        tree = qp.tree()
+        if self._replicated is not None:
+            tree = jax.device_put(tree, self._replicated)
+        self._qtree = tree
 
     def _forward_masks(self, variables, images):
         if self.int8:

@@ -333,6 +333,31 @@ def test_spatial_sharded_inference_matches_single_device(db, tiny):
                                    mesh=mesh)  # 3 % 4 != 0
 
 
+def test_spatial_sharded_int8_inference_matches_single_device(db, tiny):
+    """int8 engine on a mesh: replicated quantized state + sharded frames
+    must reproduce the single-device int8 masks exactly (int32 conv
+    accumulation is order-independent; the spatial split is a halo
+    exchange, not a reduction)."""
+    from fosvos_tpu.evaluation import experiment
+
+    model, variables = tiny
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    images, _, _ = ds.load_sequence(ds.sequence_names[0], raw=True)
+
+    single = experiment.InferenceEngine(model, batch_size=4,
+                                        mean=ds.meanval, int8=True)
+    single.calibrate(variables, images)
+    ref = single.masks_for_sequence(variables, images)
+
+    mesh = make_mesh(('data', 'spatial'), shape=(4, 2))
+    sharded = experiment.InferenceEngine(model, batch_size=4,
+                                         mean=ds.meanval, mesh=mesh,
+                                         int8=True)
+    sharded.calibrate(variables, images)   # same calibration data
+    out = sharded.masks_for_sequence(variables, images)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_mesh_sharded_online_finetune_matches_single_device(db, tiny):
     """OnlineFinetuner(mesh=...) — the window pair over 'data', frame height
     over 'spatial' — must reproduce the unsharded adaptation (same PRNG
