@@ -58,6 +58,11 @@ def get_base_parser() -> argparse.ArgumentParser:
                              'activations with fp32 params/BN/losses (1.54x '
                              'per step measured); default fp32 keeps masks '
                              'bit-comparable')
+    parser.add_argument('--int8', action='store_true',
+                        help='int8 post-training-quantized testing/eval '
+                             'forwards (compress/quantize.py; calibrates on '
+                             "each sequence's first batch). Composes with "
+                             '--bf16 (int8 convs + bf16 elsewhere)')
     parser.add_argument('--visualize-network', action='store_true',
                         help='dump the forward jaxpr + lowered HLO next to '
                              "the run (the XLA equivalent of the reference's "

@@ -141,7 +141,8 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                               batch_size=settings.batch_size_test,
                               is_visualizing_results=(
                                   settings.is_visualizing_results),
-                              bf16=getattr(settings, 'bf16', False))
+                              bf16=getattr(settings, 'bf16', False),
+                              int8=getattr(settings, 'int8', False))
         log.info('Test finished: %d images in %.2fs',
                  out['n_images'], out['total_time_s'])
 
@@ -251,6 +252,7 @@ def main(argv=None):
     settings.data_parallel = args.data_parallel
     settings.device_resident = args.device_resident
     settings.bf16 = args.bf16
+    settings.int8 = getattr(args, 'int8', False)
 
     provider_class = provider_mapping[('offline', args.network)]
     version = 34 if args.network == 'resnet34' else 18

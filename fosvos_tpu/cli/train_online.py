@@ -251,7 +251,8 @@ def main(argv=None):
                 net_provider.load_network_train()
             engine = experiment.InferenceEngine(
                 net_provider.model, settings.batch_size_test,
-                bf16=getattr(args, 'bf16', False))
+                bf16=getattr(args, 'bf16', False),
+                int8=getattr(args, 'int8', False))
         train_and_test(net_provider, tuner, seq, settings, db_root_dir,
                        save_dir_models, save_dir_results, engine=engine)
 

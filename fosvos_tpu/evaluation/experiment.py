@@ -90,7 +90,10 @@ class InferenceEngine:
     (``compress/quantize.py``: int8 x int8 -> int32 on the MXU, per-channel
     weight scales, calibrated per-tensor activation scales). Call
     :meth:`calibrate` with representative frames before the first forward —
-    otherwise the first ``masks_for_sequence`` batch self-calibrates.
+    otherwise the first ``masks_for_sequence`` batch self-calibrates, and a
+    shared engine re-calibrates automatically whenever it is handed a
+    different variables object (e.g. per-sequence adapted weights in the
+    online sweep).
     Composes with ``mesh`` (quantized state replicated, frames sharded)
     and with ``bf16`` (int8 MXU convs + bfloat16 non-conv stages — the
     lowest-HBM serving configuration).
@@ -114,6 +117,7 @@ class InferenceEngine:
         self.mesh = mesh
         self.int8 = int8
         self._qtree = None
+        self._calibrated_variables = None
 
         self._img_sharding = None
         self._replicated = None
@@ -194,10 +198,14 @@ class InferenceEngine:
         if self._replicated is not None:
             tree = jax.device_put(tree, self._replicated)
         self._qtree = tree
+        self._calibrated_variables = variables
 
     def _forward_masks(self, variables, images):
         if self.int8:
-            if self._qtree is None:
+            # re-quantize when the weights change (a shared engine serves a
+            # different adapted model per sequence in the online sweep) —
+            # stale int8 kernels would silently serve the previous model
+            if self._qtree is None or self._calibrated_variables is not variables:
                 self.calibrate(variables, np.asarray(images))
             return self._forward_masks_q(variables, self._qtree, images)
         return self._forward_masks_float(variables, images)
@@ -280,8 +288,8 @@ def write_overlay_png(path: str, frame_bgr_u8: np.ndarray,
 def test(model, variables, dataset: DAVIS2016, save_dir: str,
          seq_name: Optional[str] = None, eval_speeds: bool = False,
          batch_size: int = 4, engine: Optional[InferenceEngine] = None,
-         is_visualizing_results: bool = False, bf16: bool = False
-         ) -> Dict[str, object]:
+         is_visualizing_results: bool = False, bf16: bool = False,
+         int8: bool = False) -> Dict[str, object]:
     """Run inference over sequences and write masks (reference ``test()``).
 
     Output layout identical to the reference: ``<save_dir>/<seq>/<fname>.png``
@@ -289,7 +297,8 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
     renders additionally go to ``<save_dir>/<seq>/overlays/``.
     """
     engine = engine or InferenceEngine(model, batch_size,
-                                       mean=dataset.meanval, bf16=bf16)
+                                       mean=dataset.meanval, bf16=bf16,
+                                       int8=int8)
     results: Dict[str, object] = {}
     seqs = [seq_name] if seq_name else dataset.sequence_names
     # uint8 ingest only when the engine's on-device mean matches the dataset

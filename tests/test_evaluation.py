@@ -152,6 +152,27 @@ def test_inference_engine_int8(db):
         eng_f.calibrate(variables, images)
 
 
+def test_inference_engine_int8_recalibrates_on_new_weights(db):
+    """A shared int8 engine must re-quantize when handed different weights
+    (the online sweep serves a different adapted model per sequence)."""
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    v1 = model.init(jax.random.PRNGKey(3), x, train=False)
+    v2 = model.init(jax.random.PRNGKey(4), x, train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    images, _, _ = ds.load_sequence('synth-swan', raw=True)
+
+    shared = experiment.InferenceEngine(model, batch_size=2,
+                                        mean=ds.meanval, int8=True)
+    m1 = shared.masks_for_sequence(v1, images)
+    m2 = shared.masks_for_sequence(v2, images)
+
+    fresh = experiment.InferenceEngine(model, batch_size=2,
+                                       mean=ds.meanval, int8=True)
+    np.testing.assert_array_equal(m2, fresh.masks_for_sequence(v2, images))
+    assert not np.array_equal(m1, m2)  # genuinely different models served
+
+
 def test_experiment_benchmark(db):
     model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
     x = jnp.zeros((1, 32, 48, 3), jnp.float32)

@@ -189,7 +189,7 @@ def test_online_cli_end_to_end(db, tmp_path, monkeypatch):
 
     cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
                   '--variant-online', '11', '-s', 'synth-swan',
-                  '--db-root-dir', db])
+                  '--db-root-dir', db, '--int8'])  # int8 test-phase serving
 
     # adapted checkpoint + masks exist
     assert checkpoint.exists('models', 'resnet18_11_11_synth-swan_epoch-11')
