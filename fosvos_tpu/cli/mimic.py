@@ -226,23 +226,25 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
         if use_resident and seq_name is not None:
             log.info('--device-resident ignored for a 1-frame online run')
             use_resident = False
-        if use_resident:
-            res = mimic_lib.train_mimic_resident(
-                student_model, student_vars, teacher_model, teacher_vars,
-                db_train, val_batches_fn=val_batches,
-                n_epochs=args.n_epochs, criterion=args.criterion,
-                learn_from=args.learn_from,
-                learning_rate=args.learning_rate,
-                snapshot_fn=snapshot, summary_writer=writer)
-        else:
-            res = mimic_lib.train_mimic(
-                student_model, student_vars, teacher_model, teacher_vars,
-                train_batches, val_batches_fn=val_batches,
-                n_epochs=args.n_epochs, criterion=args.criterion,
-                learn_from=args.learn_from,
-                learning_rate=args.learning_rate,
-                snapshot_fn=snapshot, summary_writer=writer)
-        writer.close()
+        try:
+            if use_resident:
+                res = mimic_lib.train_mimic_resident(
+                    student_model, student_vars, teacher_model, teacher_vars,
+                    db_train, val_batches_fn=val_batches,
+                    n_epochs=args.n_epochs, criterion=args.criterion,
+                    learn_from=args.learn_from,
+                    learning_rate=args.learning_rate,
+                    snapshot_fn=snapshot, summary_writer=writer)
+            else:
+                res = mimic_lib.train_mimic(
+                    student_model, student_vars, teacher_model, teacher_vars,
+                    train_batches, val_batches_fn=val_batches,
+                    n_epochs=args.n_epochs, criterion=args.criterion,
+                    learn_from=args.learn_from,
+                    learning_rate=args.learning_rate,
+                    snapshot_fn=snapshot, summary_writer=writer)
+        finally:
+            writer.close()  # flush partial-run scalars on mid-sweep crash
         student_vars = {'params': res.state.params,
                         'batch_stats': res.state.batch_stats}
         checkpoint.save(str(models_dir / sub), str(args.n_epochs),

@@ -158,17 +158,19 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
     if use_resident and seq_name is not None:
         log.info('--device-resident ignored for a 1-frame online run')
         use_resident = False
-    prune_lib.prune_iteratively(
-        model, model.arch, variables, batches_fn,
-        is_offline=args.offline,
-        prune_per_iter=args.prune_per_iter,
-        n_epochs_select=args.n_epochs_select,
-        n_epochs_finetune=args.n_epochs_finetune,
-        percentage_max=args.percentage_max,
-        checkpoint_fn=on_checkpoint,
-        summary_writer=writer,
-        resident_dataset=db if use_resident else None)
-    writer.close()
+    try:
+        prune_lib.prune_iteratively(
+            model, model.arch, variables, batches_fn,
+            is_offline=args.offline,
+            prune_per_iter=args.prune_per_iter,
+            n_epochs_select=args.n_epochs_select,
+            n_epochs_finetune=args.n_epochs_finetune,
+            percentage_max=args.percentage_max,
+            checkpoint_fn=on_checkpoint,
+            summary_writer=writer,
+            resident_dataset=db if use_resident else None)
+    finally:
+        writer.close()  # flush partial-run scalars even on mid-sweep crash
 
 
 if __name__ == '__main__':

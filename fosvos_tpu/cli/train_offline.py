@@ -68,63 +68,15 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
             log.info('***Testing*** [Epoch: %d] fuse loss %f', stats.epoch,
                      stats.mean_losses[-1])
 
-        if getattr(settings, 'device_resident', False):
-            from fosvos_tpu.train import resident
-            mesh = None
-            batch = settings.batch_size_train
-            shard_spatial = False
-            if getattr(settings, 'data_parallel', False):
-                import jax as _jax
-                from fosvos_tpu.runtime import distributed
-                n_dev = len(_jax.devices())
-                # 2D mesh when it fits: frame H over 'spatial' halves each
-                # device's resident-dataset footprint and partitions convs
-                if n_dev >= 4 and n_dev % 2 == 0:
-                    mesh = distributed.global_mesh(
-                        ('data', 'spatial'), shape=(n_dev // 2, 2))
-                    shard_spatial = True
-                else:
-                    mesh = distributed.global_mesh(('data',))
-                batch = settings.batch_size_train * mesh.shape['data']
-                log.info('device-resident data-parallel: global batch %d, '
-                         'mesh %s', batch, dict(mesh.shape))
-            state = resident.train_offline_resident(
-                train_model, net_provider.variables, db_train,
-                preset=net_provider.get_preset(),
-                n_epochs=settings.n_epochs,
-                start_epoch=settings.start_epoch,
-                batch_size=batch,
-                avg_grad_every_n=settings.avg_grad_every_n,
-                snapshot_every_n=settings.snapshot_every_n,
-                snapshot_fn=snapshot,
-                log_fn=log_epoch, mesh=mesh,
-                shard_spatial=shard_spatial,
-                test_dataset=test_db,
-                test_every_n=settings.test_every_n,
-                test_log_fn=log_test)
-        elif getattr(settings, 'data_parallel', False):
-            state = _train_data_parallel(net_provider, db_train, settings,
-                                         log_epoch, snapshot,
-                                         test_db=test_db, log_test=log_test,
-                                         model=train_model)
-        else:
-            state = offline.train_offline(
-                train_model, net_provider.variables, db_train,
-                preset=net_provider.get_preset(),
-                n_epochs=settings.n_epochs,
-                start_epoch=settings.start_epoch,
-                batch_size=settings.batch_size_train,
-                avg_grad_every_n=settings.avg_grad_every_n,
-                snapshot_every_n=settings.snapshot_every_n,
-                snapshot_fn=snapshot,
-                log_fn=log_epoch,
-                test_dataset=test_db,
-                test_every_n=settings.test_every_n,
-                test_log_fn=log_test)
+        try:
+            state = _run_training(net_provider, train_model, db_train,
+                                  settings, log_epoch, snapshot, test_db,
+                                  log_test)
+        finally:
+            writer.close()  # flush partial-run scalars on mid-run crash
         net_provider.variables = {'params': state.params,
                                   'batch_stats': state.batch_stats}
         net_provider.save_model(settings.n_epochs - 1)
-        writer.close()
 
     if settings.is_testing:
         if not settings.is_training:
@@ -145,6 +97,64 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                               int8=getattr(settings, 'int8', False))
         log.info('Test finished: %d images in %.2fs',
                  out['n_images'], out['total_time_s'])
+
+
+def _run_training(net_provider, train_model, db_train, settings, log_epoch,
+                  snapshot, test_db, log_test):
+    if getattr(settings, 'device_resident', False):
+        from fosvos_tpu.train import resident
+        mesh = None
+        batch = settings.batch_size_train
+        shard_spatial = False
+        if getattr(settings, 'data_parallel', False):
+            import jax as _jax
+            from fosvos_tpu.runtime import distributed
+            n_dev = len(_jax.devices())
+            # 2D mesh when it fits: frame H over 'spatial' halves each
+            # device's resident-dataset footprint and partitions convs
+            if n_dev >= 4 and n_dev % 2 == 0:
+                mesh = distributed.global_mesh(
+                    ('data', 'spatial'), shape=(n_dev // 2, 2))
+                shard_spatial = True
+            else:
+                mesh = distributed.global_mesh(('data',))
+            batch = settings.batch_size_train * mesh.shape['data']
+            log.info('device-resident data-parallel: global batch %d, '
+                     'mesh %s', batch, dict(mesh.shape))
+        state = resident.train_offline_resident(
+            train_model, net_provider.variables, db_train,
+            preset=net_provider.get_preset(),
+            n_epochs=settings.n_epochs,
+            start_epoch=settings.start_epoch,
+            batch_size=batch,
+            avg_grad_every_n=settings.avg_grad_every_n,
+            snapshot_every_n=settings.snapshot_every_n,
+            snapshot_fn=snapshot,
+            log_fn=log_epoch, mesh=mesh,
+            shard_spatial=shard_spatial,
+            test_dataset=test_db,
+            test_every_n=settings.test_every_n,
+            test_log_fn=log_test)
+    elif getattr(settings, 'data_parallel', False):
+        state = _train_data_parallel(net_provider, db_train, settings,
+                                     log_epoch, snapshot,
+                                     test_db=test_db, log_test=log_test,
+                                     model=train_model)
+    else:
+        state = offline.train_offline(
+            train_model, net_provider.variables, db_train,
+            preset=net_provider.get_preset(),
+            n_epochs=settings.n_epochs,
+            start_epoch=settings.start_epoch,
+            batch_size=settings.batch_size_train,
+            avg_grad_every_n=settings.avg_grad_every_n,
+            snapshot_every_n=settings.snapshot_every_n,
+            snapshot_fn=snapshot,
+            log_fn=log_epoch,
+            test_dataset=test_db,
+            test_every_n=settings.test_every_n,
+            test_log_fn=log_test)
+    return state
 
 
 def _train_data_parallel(net_provider, db_train, settings, log_epoch,

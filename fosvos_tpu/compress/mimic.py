@@ -179,9 +179,13 @@ def train_mimic_resident(student_model, student_variables,
     semantics, scalar tags, and cadences as :func:`train_mimic`."""
     from fosvos_tpu.train import resident
 
-    preset = optimizers.Preset(family='adam', lr=learning_rate,
-                               weight_decay=2e-4, grouped=False)
-    base = optimizers.make_optimizer(preset, student_variables['params'])
+    # single optimizer source: MimicTrainer owns the distillation preset
+    # (adam lr/wd, reference mimic.py:74,231); duplicating it here would let
+    # the two sweeps silently diverge
+    trainer = MimicTrainer(student_model, teacher_model, criterion,
+                           learn_from, learning_rate, avg_grad_every_n)
+    base = optimizers.make_optimizer(trainer.preset,
+                                     student_variables['params'])
     optimizer = optax.MultiSteps(base, every_k_schedule=avg_grad_every_n)
     state = create_state(student_variables, optimizer)
 
@@ -195,9 +199,7 @@ def train_mimic_resident(student_model, student_variables,
     # validation reuses the per-batch eval step (small + infrequent)
     eval_trainer = None
     if val_batches_fn is not None:
-        eval_trainer = MimicTrainer(student_model, teacher_model, criterion,
-                                    learn_from, learning_rate,
-                                    avg_grad_every_n)
+        eval_trainer = trainer
         eval_trainer._build(student_variables['params'])
 
     train_losses: List[float] = []

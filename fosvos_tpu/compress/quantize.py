@@ -44,12 +44,26 @@ def _conv_config(mod: nn.Conv):
     p = mod.padding
     if isinstance(p, int):
         p = ((p, p), (p, p))
-    elif isinstance(p, str):
-        pass  # 'SAME' / 'VALID' are accepted verbatim by lax
-    else:
-        p = tuple((lo, hi) if isinstance((lo, hi), tuple) else (lo, hi)
-                  for lo, hi in p)
+    elif not isinstance(p, str):  # 'SAME'/'VALID' pass to lax verbatim
+        # flax accepts a sequence of ints or of (lo, hi) pairs
+        p = tuple((e, e) if isinstance(e, int) else tuple(e) for e in p)
     return tuple(s), p
+
+
+def _is_quantizable(mod: nn.Conv) -> bool:
+    """Plain dense convs only. Grouped or dilated convs would be silently
+    mis-lowered by the int8 path (it rebuilds the conv from kernel+strides+
+    padding alone), so they are excluded at path discovery and double-checked
+    at apply time."""
+    def _unit(d):
+        if d is None:
+            return True
+        if isinstance(d, int):
+            return d == 1
+        return all(int(x) == 1 for x in d)
+    return (mod.feature_group_count == 1
+            and _unit(mod.kernel_dilation)
+            and _unit(getattr(mod, 'input_dilation', None)))
 
 
 def _get_nested(tree: Dict[str, Any], path: str) -> Dict[str, Any]:
@@ -91,7 +105,8 @@ def conv_paths(model, variables, example: jax.Array,
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
-        if isinstance(mod, nn.Conv) and context.method_name == '__call__':
+        if (isinstance(mod, nn.Conv) and context.method_name == '__call__'
+                and _is_quantizable(mod)):
             path = '/'.join(mod.path)
             if path not in found and not any(s in path for s in skip):
                 found.append(path)
@@ -106,47 +121,65 @@ def conv_paths(model, variables, example: jax.Array,
     return found
 
 
+# compiled calibration forwards, keyed by (model identity, conv paths).
+# A fresh jax.jit per calibrate_amax call would re-trace AND re-compile the
+# full model forward on every calibration (minutes at 480p behind this
+# backend); caching the jitted fn lets jax's own cache hit per input shape —
+# multi-batch calibration and per-sequence recalibration compile once. The
+# model object is kept in the entry so id(model) cannot be recycled.
+_CALIB_FNS: Dict[Any, Any] = {}
+
+
 def calibrate_amax(model, variables, images: jax.Array,
                    paths: Sequence[str]) -> Dict[str, jax.Array]:
     """Per-conv-input abs-max over one batch (one compiled forward)."""
-    store: Dict[str, jax.Array] = {}
-    wanted = set(paths)
+    key = (id(model), tuple(paths))
+    entry = _CALIB_FNS.get(key)
+    if entry is None:
+        store: Dict[str, jax.Array] = {}
+        wanted = set(paths)
 
-    def interceptor(next_fun, args, kwargs, context):
-        mod = context.module
-        if (isinstance(mod, nn.Conv) and context.method_name == '__call__'):
-            path = '/'.join(mod.path)
-            if path in wanted:
-                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
-                store[path] = jnp.maximum(store[path], a) \
-                    if path in store else a
-        return next_fun(*args, **kwargs)
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if (isinstance(mod, nn.Conv)
+                    and context.method_name == '__call__'):
+                path = '/'.join(mod.path)
+                if path in wanted:
+                    a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                    store[path] = jnp.maximum(store[path], a) \
+                        if path in store else a
+            return next_fun(*args, **kwargs)
 
-    @jax.jit
-    def fn(v, x):
-        store.clear()
-        with nn.intercept_methods(interceptor):
-            model.apply(v, x, train=False)
-        return dict(store)
+        @jax.jit
+        def fn(v, x):
+            store.clear()
+            with nn.intercept_methods(interceptor):
+                model.apply(v, x, train=False)
+            return dict(store)
 
-    return fn(variables, images)
+        entry = (model, fn)
+        _CALIB_FNS[key] = entry
+    return entry[1](variables, images)
+
+
+@jax.jit
+def _quantize_kernel(kernel):
+    # module-level jit: repeat quantizations of same-shaped kernels hit
+    # jax's compile cache instead of re-compiling per call
+    k32 = kernel.astype(jnp.float32)
+    s = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    kq = jnp.clip(jnp.round(k32 / s), -127, 127).astype(jnp.int8)
+    return kq, s
 
 
 def quantize_weights(variables, paths: Sequence[str]
                      ) -> Dict[str, Dict[str, jax.Array]]:
     """Per-output-channel symmetric int8 kernels + dequant scales."""
-    @jax.jit
-    def q(kernel):
-        k32 = kernel.astype(jnp.float32)
-        s = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
-        s = jnp.maximum(s, 1e-12)
-        kq = jnp.clip(jnp.round(k32 / s), -127, 127).astype(jnp.int8)
-        return kq, s
-
     kernels, wscale = {}, {}
     params = variables['params']
     for path in paths:
-        kq, s = q(_get_nested(params, path)['kernel'])
+        kq, s = _quantize_kernel(_get_nested(params, path)['kernel'])
         kernels[path], wscale[path] = kq, s
     return {'kernels': kernels, 'wscale': wscale}
 
@@ -203,9 +236,7 @@ def quantized_apply(model, variables, qtree, x: jax.Array,
                 and context.method_name == '__call__'):
             return next_fun(*args, **kwargs)
         path = '/'.join(mod.path)
-        if path not in kernels:
-            return next_fun(*args, **kwargs)
-        if mod.feature_group_count != 1:
+        if path not in kernels or not _is_quantizable(mod):
             return next_fun(*args, **kwargs)
         xin = args[0]
         s_x = act_scale[path]

@@ -117,7 +117,7 @@ class InferenceEngine:
         self.mesh = mesh
         self.int8 = int8
         self._qtree = None
-        self._calibrated_variables = None
+        self._calibrated_weights = None
 
         self._img_sharding = None
         self._replicated = None
@@ -182,6 +182,18 @@ class InferenceEngine:
         self._forward_masks_q = forward_masks_q
         self._forward_logits = forward_logits
 
+    @staticmethod
+    def _weights_key(variables):
+        """Identity of the served weights: the ``params`` subtree when
+        present (providers typically reassign it on a weight update while
+        reusing the outer variables dict), else the whole tree. Callers that
+        mutate dicts *below* ``params`` in place must call :meth:`calibrate`
+        explicitly — identity cannot see arbitrarily deep rebinds."""
+        try:
+            return variables['params']
+        except (TypeError, KeyError):
+            return variables
+
     def calibrate(self, variables, frames: np.ndarray) -> None:
         """Build int8 scales/kernels from representative frames (uint8 raw
         or float32 preprocessed). Required before int8 serving; kernels are
@@ -198,14 +210,16 @@ class InferenceEngine:
         if self._replicated is not None:
             tree = jax.device_put(tree, self._replicated)
         self._qtree = tree
-        self._calibrated_variables = variables
+        self._calibrated_weights = self._weights_key(variables)
 
     def _forward_masks(self, variables, images):
         if self.int8:
             # re-quantize when the weights change (a shared engine serves a
             # different adapted model per sequence in the online sweep) —
             # stale int8 kernels would silently serve the previous model
-            if self._qtree is None or self._calibrated_variables is not variables:
+            if (self._qtree is None
+                    or self._calibrated_weights
+                    is not self._weights_key(variables)):
                 self.calibrate(variables, np.asarray(images))
             return self._forward_masks_q(variables, self._qtree, images)
         return self._forward_masks_float(variables, images)
