@@ -154,7 +154,7 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int) -> float:
     return batch / best_dt
 
 
-def _bench_online_adaptation():
+def _bench_online_adaptation(dtype: str = 'fp32'):
     """The signature workload: full-budget one-shot adaptation (10,000 steps,
     batch 1, flip + 3-scale augmentation, Adam variant 11, step every 5 —
     reference train_online.py:147-152) on OSVOS-ResNet18 at 480p.
@@ -169,10 +169,15 @@ def _bench_online_adaptation():
     keep the workload definitions in sync.
     """
     import jax
+    import jax.numpy as jnp
     from fosvos_tpu.models import make_resnet
     from fosvos_tpu.train import online, optimizers
 
     model, variables = _build_resnet(18)
+    if dtype == 'bf16':
+        # --bf16 adaptation: bf16 activations, fp32 params/opt/loss
+        # (cli.train_online.adaptation_model recipe)
+        model = model.clone(dtype=jnp.bfloat16)
     variables = jax.device_put(variables)
     rng = np.random.RandomState(0)
     img = (rng.randn(480, 854, 3) * 40.0).astype(np.float32)
@@ -259,9 +264,12 @@ def main():
          64, 'int8', 'resnet18', 10),
         ('resnet18_480p_latency_fps_b1_fp32', lambda: _build_resnet(18),
          1, 'fp32', 'resnet18', 30),
-        # headline metric LAST (single-line consumers read the final line)
         ('resnet18_480p_throughput_fps_b64', lambda: _build_resnet(18),
          64, 'bf16', 'resnet18', 20),
+        # headline metric LAST (single-line consumers read the final line):
+        # best single-chip serving config — int8 PTQ above the batch knee
+        ('resnet18_480p_throughput_fps_b128_int8', lambda: _build_resnet(18),
+         128, 'int8', 'resnet18', 10),
     ]
     t0 = time.perf_counter()
     train_fps = _bench_offline_resident_train()
@@ -277,17 +285,20 @@ def main():
         'vs_baseline': round(train_fps / BASELINE_FPS['resnet18'], 2),
     }), flush=True)
 
-    t0 = time.perf_counter()
-    adapt_s = _bench_online_adaptation()
-    print(f'# online adaptation: {adapt_s:.1f} s '
-          f'({time.perf_counter() - t0:.0f}s incl. compile)', file=sys.stderr)
-    print(json.dumps({
-        'metric': 'resnet18_online_adaptation_10k_steps_wall_s',
-        'value': round(adapt_s, 2),
-        'unit': 's',
-        # reference lower bound: 10k forwards at its published 10.67 ms/frame
-        'vs_baseline': round(10000 * 0.01067 / adapt_s, 2),
-    }), flush=True)
+    for dtype, suffix in (('fp32', ''), ('bf16', '_bf16')):
+        t0 = time.perf_counter()
+        adapt_s = _bench_online_adaptation(dtype)
+        print(f'# online adaptation {dtype}: {adapt_s:.1f} s '
+              f'({time.perf_counter() - t0:.0f}s incl. compile)',
+              file=sys.stderr)
+        print(json.dumps({
+            'metric': f'resnet18_online_adaptation_10k_steps_wall_s{suffix}',
+            'value': round(adapt_s, 2),
+            'unit': 's',
+            # reference lower bound: 10k forwards at its published
+            # 10.67 ms/frame
+            'vs_baseline': round(10000 * 0.01067 / adapt_s, 2),
+        }), flush=True)
 
     for metric, build, batch, dtype, base_key, n_runs in configs:
         t0 = time.perf_counter()

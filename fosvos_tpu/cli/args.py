@@ -54,10 +54,10 @@ def get_base_parser() -> argparse.ArgumentParser:
                         help='resume from this epoch checkpoint')
     parser.add_argument('--bf16', action='store_true',
                         help='bfloat16 compute: testing/eval forwards (~3x '
-                             'throughput) and, for offline training, bf16 '
-                             'activations with fp32 params/BN/losses (1.54x '
-                             'per step measured); default fp32 keeps masks '
-                             'bit-comparable')
+                             'throughput) and, for offline/online training, '
+                             'bf16 activations with fp32 params/BN/losses '
+                             '(1.54x per offline step measured); default '
+                             'fp32 keeps masks bit-comparable')
     parser.add_argument('--int8', action='store_true',
                         help='int8 post-training-quantized testing/eval '
                              'forwards (compress/quantize.py; calibrates on '

@@ -27,6 +27,18 @@ from fosvos_tpu.train import online
 log = get_logger(__file__)
 
 
+def adaptation_model(net_provider, settings):
+    """Model the adaptation steps run on. With ``--bf16`` the clone computes
+    activations in bfloat16 while params, optimizer state, BN running stats
+    and the CB-BCE loss stay float32 (``core/ops.py`` casts the logits) —
+    the same recipe as offline ``--bf16`` training. The fp32 model is still
+    what gets served/saved; only the step compute dtype changes."""
+    if getattr(settings, 'bf16', False):
+        import jax.numpy as jnp
+        return net_provider.model.clone(dtype=jnp.bfloat16)
+    return net_provider.model
+
+
 def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
                    seq_name: str, settings: OnlineSettings, db_root_dir,
                    save_dir_models, save_dir_results,
@@ -48,9 +60,9 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
                        seq_name=seq_name)
         img, gt = db.make_img_gt_pair(0)
         if tuner is None:
-            tuner = online.OnlineFinetuner(net_provider.model,
-                                           net_provider.get_preset(),
-                                           settings.avg_grad_every_n)
+            tuner = online.OnlineFinetuner(
+                adaptation_model(net_provider, settings),
+                net_provider.get_preset(), settings.avg_grad_every_n)
         res = tuner.finetune(net_provider.variables, img, gt,
                              n_epochs=settings.n_epochs)
         log.info('Train %s: total time %s sec', seq_name, res.wall_time_s)
@@ -116,8 +128,8 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
         mean = db.meanval
 
     mesh = make_mesh(('seq',))
-    fo = fanout.SequenceFanout(net_provider.model, mesh,
-                               net_provider.get_preset(),
+    fo = fanout.SequenceFanout(adaptation_model(net_provider, settings),
+                               mesh, net_provider.get_preset(),
                                settings.avg_grad_every_n, mean=mean,
                                window_batch=window_batch)
     res = fo.finetune_all(net_provider.variables, np.stack(imgs),
@@ -195,6 +207,7 @@ def main(argv=None):
                        else 239),
         variant_offline=args.variant_offline,
         variant_online=args.variant_online, eval_speeds=args.eval_speeds)
+    settings.bf16 = getattr(args, 'bf16', False)
 
     provider_class = provider_mapping[('online', args.network)]
     version = 34 if args.network == 'resnet34' else 18
@@ -243,8 +256,8 @@ def main(argv=None):
         if tuner is None and settings.is_training:
             net_provider.load_network_train()
             tuner = online.OnlineFinetuner(
-                net_provider.model, net_provider.get_preset(),
-                settings.avg_grad_every_n,
+                adaptation_model(net_provider, settings),
+                net_provider.get_preset(), settings.avg_grad_every_n,
                 window_batch=not getattr(args, 'sequential_windows', False))
         if engine is None:
             if net_provider.model is None:

@@ -213,6 +213,24 @@ def test_fanout_regime_selection():
     assert select_regime(1, 8, True, True) == 'sequential'
 
 
+def test_adaptation_model_bf16_clone():
+    """--bf16 adaptation clones the model with bfloat16 activations; without
+    it the provider's fp32 model is used unchanged."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from fosvos_tpu.cli.train_online import adaptation_model
+    from fosvos_tpu.models import make_resnet
+
+    model = make_resnet(18, scale_down_exponent=4)
+    provider = SimpleNamespace(model=model)
+    s = OnlineSettings(variant_offline=11, variant_online=11)
+    assert adaptation_model(provider, s) is model
+    s.bf16 = True
+    clone = adaptation_model(provider, s)
+    assert clone.dtype == jnp.bfloat16
+    assert clone.arch == model.arch
+
+
 def test_evaluate_cli(db, tmp_path, monkeypatch):
     """J&F CLI on perfect (ground-truth) masks -> J=F=1."""
     import cv2

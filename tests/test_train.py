@@ -164,6 +164,43 @@ def test_online_sequential_mode_still_available(db, tiny_model):
     assert np.isfinite(res.losses).all()
 
 
+def test_online_finetune_bf16_tracks_fp32(db, tiny_model):
+    """--bf16 adaptation (bf16 activations via model.clone, fp32
+    params/optimizer/loss — cli.train_online.adaptation_model) must still
+    learn the frame; params stay fp32 and land near the fp32 run's."""
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+
+    tuner16 = online.OnlineFinetuner(model.clone(dtype=jnp.bfloat16),
+                                     optimizers.online_variant(10),
+                                     avg_grad_every_n=5)
+    r16 = tuner16.finetune(variables, img, gt, n_epochs=100, seed=0,
+                           augment=False)
+    assert np.isfinite(r16.losses).all()
+    assert all(np.asarray(a).dtype == np.float32
+               for a in jax.tree.leaves(r16.state.params))
+
+    tuner32 = online.OnlineFinetuner(model, optimizers.online_variant(10),
+                                     avg_grad_every_n=5)
+    r32 = tuner32.finetune(variables, img, gt, n_epochs=100, seed=0,
+                           augment=False)
+    # same trajectory up to bf16 rounding: losses within a few percent
+    ref = np.abs(r32.losses) + 1e-3
+    assert (np.abs(r16.losses - r32.losses) / ref < 0.08).all()
+
+    # 100 epochs is mid-descent; require the bf16 run to land at the same
+    # training-frame quality as fp32 rather than an absolute threshold
+    def iou_of(res):
+        outs = model.apply(
+            {'params': res.state.params,
+             'batch_stats': res.state.batch_stats},
+            jnp.asarray(img[None]), train=False)
+        return _iou(outs[-1][0], gt)
+
+    assert iou_of(r16) >= iou_of(r32) - 0.05
+
+
 def test_offline_training_decreases_loss(db, tiny_model):
     model, variables = tiny_model
     ds = davis.DAVIS2016(mode='train', db_root_dir=db)
