@@ -260,6 +260,8 @@ def main():
         # int8 PTQ serving (compress/quantize.py): MXU int8 contractions
         ('vgg16_480p_throughput_fps_b64_int8', _build_vgg, 64, 'int8',
          'vgg16', 5),
+        ('vgg16_480p_throughput_fps_b128_int8', _build_vgg, 128, 'int8',
+         'vgg16', 5),
         ('resnet18_480p_throughput_fps_b64_int8', lambda: _build_resnet(18),
          64, 'int8', 'resnet18', 10),
         ('resnet18_480p_latency_fps_b1_fp32', lambda: _build_resnet(18),
