@@ -295,3 +295,76 @@ def test_gif_convert_folder(tmp_path, monkeypatch):
                          ['--results-dir', str(tmp_path / 'results'),
                           '--output-dir', str(tmp_path / 'gifs')])
     assert 'wrote 0' in res2.output
+
+
+def test_fleet_cli_two_streams(tmp_path):
+    """Fleet CLI: two tiny adapted checkpoints x two videos, masks written
+    per stream and bit-equal to each stream's own single-model engine."""
+    import cv2
+    from fosvos_tpu.evaluation import experiment
+
+    rng = np.random.RandomState(2)
+    specs = []
+    frames_per_stream = []
+    models = []
+    for k, name in enumerate(['walk', 'swan']):
+        model, variables = _tiny_vars(seed=k)
+        models.append((model, variables))
+        ckpt_dir = tmp_path / 'models'
+        checkpoint.save(str(ckpt_dir), f'tiny_{name}', variables,
+                        model.arch.to_json())
+        video = str(tmp_path / f'{name}.avi')
+        vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8,
+                             (48, 32))
+        fr = [rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8)
+              for _ in range(4)]
+        for f in fr:
+            vw.write(f)
+        vw.release()
+        frames_per_stream.append(video)
+        specs += ['--stream', f'{video}={ckpt_dir / f"tiny_{name}.npz"}']
+
+    from fosvos_tpu.cli import fleet as fleet_cli
+    out = tmp_path / 'out'
+    fleet_cli.main(specs + ['--output-dir', str(out), '--max-frames', '3'],
+                   standalone_mode=False)
+
+    for k, name in enumerate(['walk', 'swan']):
+        masks = sorted((out / name).glob('*.png'))
+        assert len(masks) == 3
+        # parity vs the single-model engine on the decoded video frames
+        cap = cv2.VideoCapture(frames_per_stream[k])
+        ok, frame0 = cap.read()
+        cap.release()
+        assert ok
+        model, variables = models[k]
+        engine = experiment.InferenceEngine(model, 1)
+        want = engine.masks_for_sequence(variables, frame0[None])
+        got = cv2.imread(str(masks[0]), 0)
+        np.testing.assert_array_equal(got, want[0])
+
+
+def test_fleet_cli_rejects_mixed_arch(tmp_path):
+    import cv2
+    model_a = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    va = model_a.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    model_b = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=3))
+    vb = model_b.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'a', jax.tree.map(jnp.asarray, va),
+                    model_a.arch.to_json())
+    checkpoint.save(str(ckpt_dir), 'b', jax.tree.map(jnp.asarray, vb),
+                    model_b.arch.to_json())
+    video = str(tmp_path / 'v.avi')
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8, (48, 32))
+    vw.write(np.zeros((32, 48, 3), np.uint8))
+    vw.release()
+
+    import click
+    from fosvos_tpu.cli import fleet as fleet_cli
+    with pytest.raises(click.UsageError, match='topology'):
+        fleet_cli.main(['--stream', f'{video}={ckpt_dir}/a.npz',
+                        '--stream', f'{video}={ckpt_dir}/b.npz'],
+                       standalone_mode=False)

@@ -259,3 +259,46 @@ def test_bf16_engine_masks_close_to_fp32(db):
     # thresholded masks nearly identical
     agree = np.mean((m16 >= 128) == (m32 >= 128))
     assert agree > 0.99
+
+
+def test_fleet_server_matches_per_stream_engines(db):
+    """FleetServer: one vmapped dispatch over S (params, frame) pairs must
+    reproduce each stream's own single-model forward exactly (fp32)."""
+    from fosvos_tpu.evaluation import fleet
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(3)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)       # (4, H, W, 3) uint8
+    frames = imgs[:3]                              # one frame per stream
+
+    server = fleet.FleetServer(model)
+    stacked = server.put_weights(var_list)
+    got = server.segment(stacked, frames)
+    assert got.shape == (3, 32, 48) and got.dtype == np.uint8
+
+    engine = experiment.InferenceEngine(model, 1)
+    for k in range(3):
+        want = engine.masks_for_sequence(var_list[k], frames[k:k + 1])
+        np.testing.assert_array_equal(got[k], want[0])
+
+
+def test_fleet_server_bf16_close(db):
+    from fosvos_tpu.evaluation import fleet
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(2)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+    frames = imgs[:2]
+
+    s32 = fleet.FleetServer(model)
+    s16 = fleet.FleetServer(model, bf16=True)
+    m32 = s32.segment(s32.put_weights(var_list), frames)
+    m16 = s16.segment(s16.put_weights(var_list), frames)
+    assert np.mean(np.abs(m16.astype(int) - m32.astype(int))) < 8
+    assert np.mean((m16 >= 128) == (m32 >= 128)) > 0.99

@@ -395,3 +395,27 @@ def test_mesh_sharded_online_finetune_matches_single_device(db, tiny):
     with pytest.raises(ValueError):
         online.OnlineFinetuner(model, preset, avg_grad_every_n=5,
                                mesh=make_mesh(('data',)))  # 8 doesn't divide 2
+
+
+def test_fleet_server_on_mesh_matches_single_device(db, tiny):
+    """FleetServer over a 'seq' mesh (streams sharded across chips,
+    communication-free) must produce the single-device fleet masks
+    exactly; stream count may exceed the axis size (leading-dim
+    round-robin sharding)."""
+    from fosvos_tpu.evaluation import fleet
+
+    model, _ = tiny
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(8)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    images, _, _ = ds.load_sequence(ds.sequence_names[0], raw=True)
+    frames = np.stack([images[k % len(images)] for k in range(8)])
+
+    single = fleet.FleetServer(model, mean=ds.meanval)
+    ref = single.segment(single.put_weights(var_list), frames)
+
+    mesh = make_mesh(('seq',))
+    sharded = fleet.FleetServer(model, mesh=mesh, mean=ds.meanval)
+    out = sharded.segment(sharded.put_weights(var_list), frames)
+    np.testing.assert_array_equal(out, ref)

@@ -1,0 +1,94 @@
+"""Fleet serving benchmark: S per-stream adapted models, one chip.
+
+Production one-shot VOS serves many video streams, each with its own
+adapted weights (the reference's answer is one process per stream,
+``run_webcam.py`` + manual sharding). ``evaluation/fleet.FleetServer``
+vmaps the forward over (params, frame) so ONE dispatch segments the whole
+fleet. This tool measures aggregate throughput vs the per-stream-dispatch
+alternative (same resident weights, S separate jitted calls per step).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_fleet_serving.py \
+           [--streams 8] [--steps 20] [--dtype bf16] [--size 480x854]
+"""
+import argparse
+import time
+
+import numpy as np
+
+from fosvos_tpu.runtime.device import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.evaluation import experiment, fleet
+from fosvos_tpu.models import make_resnet
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--streams', type=int, default=8)
+    ap.add_argument('--steps', type=int, default=20)
+    ap.add_argument('--dtype', default='bf16', choices=['fp32', 'bf16'])
+    ap.add_argument('--size', default='480x854')
+    ap.add_argument('--skip-sequential', action='store_true')
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.size.split('x'))
+    bf16 = args.dtype == 'bf16'
+    S = args.streams
+
+    model = make_resnet(18)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(S)]
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, size=(S, h, w, 3), dtype=np.uint8)
+
+    server = fleet.FleetServer(model, bf16=bf16)
+    stacked = server.put_weights(var_list)
+    server.segment(stacked, frames)  # compile + warm
+
+    # device-resident frames: measures dispatch+compute throughput (what a
+    # PCIe host sees; behind this tunnel per-step H2D of S 480p frames
+    # dominates everything and benchmarks the link, not the server)
+    dframes = jax.device_put(jnp.asarray(frames))
+    # pipelined in-order fence (runtime.timing semantics)
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(args.steps):
+            r = server._forward_fleet(stacked, dframes)
+        np.asarray(r[0, 0, :8])
+        best = min(best, (time.perf_counter() - t0) / args.steps)
+    print(f'fleet {args.dtype}: {S} streams/dispatch, '
+          f'{best * 1e3:.1f} ms/step, {S / best:.1f} frames/s aggregate')
+
+    if args.skip_sequential:
+        return
+    # alternative: S per-stream dispatches (weights resident, one engine
+    # program reused; the per-call enqueue round-trips dominate behind a
+    # high-latency link)
+    engine = experiment.InferenceEngine(model, batch_size=1, bf16=bf16)
+    dev_vars = [jax.device_put(v) for v in var_list]
+    engine.masks_for_sequence(dev_vars[0], frames[:1])  # compile + warm
+    fwd = engine._forward_masks_float if not engine.int8 else None
+    dframes_seq = [jax.device_put(jnp.asarray(frames[k:k + 1]))
+                   for k in range(S)]
+    best_seq = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(args.steps):
+            for k in range(S):
+                r = fwd(dev_vars[k], dframes_seq[k])
+        np.asarray(r[0, 0, :8])
+        best_seq = min(best_seq, (time.perf_counter() - t0) / args.steps)
+    print(f'sequential {args.dtype}: {S} dispatches/step, '
+          f'{best_seq * 1e3:.1f} ms/step, {S / best_seq:.1f} frames/s '
+          f'aggregate ({best_seq / best:.2f}x slower than fleet)')
+
+
+if __name__ == '__main__':
+    main()
