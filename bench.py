@@ -212,8 +212,12 @@ def _bench_offline_resident_train():
     from fosvos_tpu.models import make_resnet
     from fosvos_tpu.train import optimizers, resident
 
+    # 64 frames: enough steps/epoch to amortize the per-epoch host round
+    # trip (permutation out + loss readback). At 16 frames the tunnel's
+    # ~30 ms/epoch overhead inflates the per-step cost by ~2 ms (measured);
+    # real DAVIS epochs are 2079 frames, where it vanishes entirely.
     root = tempfile.mkdtemp(prefix='bench_resident_')
-    synthetic.generate(root, sequences=[f's{i}' for i in range(4)],
+    synthetic.generate(root, sequences=[f's{i}' for i in range(16)],
                        val_sequences=['v0'], n_frames=4, size=(480, 854))
     ds = davis.DAVIS2016(mode='train', db_root_dir=root)
     model = make_resnet(18)
