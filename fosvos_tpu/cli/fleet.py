@@ -29,15 +29,18 @@ from fosvos_tpu.runtime.logging import get_logger
 log = get_logger(__file__)
 
 
-def _load_stream_model(path: str):
+def _load_stream_model(path: str, network: str):
     p = Path(path)
     d, stem = str(p.parent), p.name
     if stem.endswith('.npz'):
         stem = stem[:-4]
     variables, arch_json = checkpoint.load(d, stem)
-    arch = (ResNetArch.from_json(arch_json) if arch_json is not None
-            else resnet_arch(18))
-    return variables, arch
+    if arch_json is not None:
+        return variables, ResNetArch.from_json(arch_json)
+    if network == 'vgg16':
+        return variables, 'vgg16'
+    version = int(network.replace('resnet', ''))
+    return variables, resnet_arch(version)
 
 
 @click.command()
@@ -45,13 +48,17 @@ def _load_stream_model(path: str):
               help='VIDEO=CHECKPOINT.npz (repeatable, one per stream)')
 @click.option('--output-dir', type=click.Path(file_okay=False),
               default=None, help='write per-stream mask PNGs here')
+@click.option('--network', default='resnet18',
+              type=click.Choice(['vgg16', 'resnet18', 'resnet34']),
+              help='topology for checkpoints without an .arch.json '
+                   '(pruned/mimic checkpoints carry their own)')
 @click.option('--bf16', is_flag=True, default=False)
 @click.option('--mesh', 'use_mesh', is_flag=True, default=False,
               help="shard streams over a 'seq' device mesh")
 @click.option('--max-frames', type=int, default=None)
 @click.option('--loop/--no-loop', default=False,
               help='restart streams at EOF (otherwise stop at the first)')
-def main(streams, output_dir, bf16, use_mesh, max_frames, loop):
+def main(streams, network, output_dir, bf16, use_mesh, max_frames, loop):
     import cv2
     from fosvos_tpu.evaluation import fleet
 
@@ -62,14 +69,18 @@ def main(streams, output_dir, bf16, use_mesh, max_frames, loop):
             raise click.UsageError(f'--stream {spec!r}: expected '
                                    'VIDEO=CHECKPOINT')
         videos.append(video)
-        variables, arch = _load_stream_model(ckpt_path)
+        variables, arch = _load_stream_model(ckpt_path, network)
         var_list.append(variables)
         archs.append(arch)
     if any(a != archs[0] for a in archs[1:]):
         raise click.UsageError('all fleet checkpoints must share one '
                                'topology (widths differ); run mixed-arch '
                                'fleets as separate processes')
-    model = OSVOSResNet(arch=archs[0])
+    if archs[0] == 'vgg16':
+        from fosvos_tpu.models import OSVOSVGG
+        model = OSVOSVGG()
+    else:
+        model = OSVOSResNet(arch=archs[0])
 
     mesh = None
     if use_mesh:

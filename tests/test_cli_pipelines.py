@@ -368,3 +368,28 @@ def test_fleet_cli_rejects_mixed_arch(tmp_path):
         fleet_cli.main(['--stream', f'{video}={ckpt_dir}/a.npz',
                         '--stream', f'{video}={ckpt_dir}/b.npz'],
                        standalone_mode=False)
+
+
+def test_fleet_cli_vgg_network_flag(tmp_path):
+    """Checkpoints without an .arch.json resolve through --network
+    (vgg16 here); one stream, one frame."""
+    import cv2
+    from fosvos_tpu.models import OSVOSVGG
+
+    model = OSVOSVGG()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'v', jax.tree.map(jnp.asarray, variables))
+    video = str(tmp_path / 'v.avi')
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8, (48, 32))
+    vw.write(np.zeros((32, 48, 3), np.uint8))
+    vw.release()
+
+    from fosvos_tpu.cli import fleet as fleet_cli
+    out = tmp_path / 'out'
+    fleet_cli.main(['--stream', f'{video}={ckpt_dir}/v.npz',
+                    '--network', 'vgg16', '--output-dir', str(out),
+                    '--max-frames', '1'], standalone_mode=False)
+    assert len(list((out / 'v').glob('*.png'))) == 1
