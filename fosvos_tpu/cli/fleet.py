@@ -6,13 +6,16 @@ The reference's multi-stream story is one process per stream
 compiled program (``evaluation/fleet.FleetServer``): params stacked over a
 stream axis, weights resident in HBM, per step only S uint8 frames go in
 and S uint8 masks come out. On a multi-chip mesh the stream axis shards
-communication-free (``--mesh``).
+communication-free (``--mesh``). A mixed-topology fleet (e.g. some streams
+pruned or width-scaled students) runs one compiled program per distinct
+arch, streams grouped automatically. ``--int8`` serves every group with
+PTQ convs, each stream self-calibrated on its first frame.
 
 Usage:
   python -m fosvos_tpu.cli.fleet \
       --stream walking.mp4=models/resnet18_11_11_walking_epoch-9999.npz \
       --stream blackswan.mp4=models/resnet18_11_11_blackswan_epoch-9999.npz \
-      [--output-dir fleet_out] [--bf16] [--max-frames N] [--mesh]
+      [--output-dir fleet_out] [--bf16] [--int8] [--max-frames N] [--mesh]
 """
 from __future__ import annotations
 
@@ -22,7 +25,8 @@ from pathlib import Path
 import click
 import numpy as np
 
-from fosvos_tpu.models import OSVOSResNet, ResNetArch, resnet_arch
+from fosvos_tpu.models import (OSVOSResNet, OSVOSVGG, ResNetArch, VGGArch,
+                               arch_from_json, resnet_arch)
 from fosvos_tpu.runtime import checkpoint
 from fosvos_tpu.runtime.logging import get_logger
 
@@ -36,11 +40,17 @@ def _load_stream_model(path: str, network: str):
         stem = stem[:-4]
     variables, arch_json = checkpoint.load(d, stem)
     if arch_json is not None:
-        return variables, ResNetArch.from_json(arch_json)
+        return variables, arch_from_json(arch_json)
     if network == 'vgg16':
-        return variables, 'vgg16'
+        return variables, VGGArch()
     version = int(network.replace('resnet', ''))
     return variables, resnet_arch(version)
+
+
+def _model_for_arch(arch):
+    if isinstance(arch, VGGArch):
+        return OSVOSVGG(arch=arch)
+    return OSVOSResNet(arch=arch)
 
 
 @click.command()
@@ -53,12 +63,16 @@ def _load_stream_model(path: str, network: str):
               help='topology for checkpoints without an .arch.json '
                    '(pruned/mimic checkpoints carry their own)')
 @click.option('--bf16', is_flag=True, default=False)
+@click.option('--int8', is_flag=True, default=False,
+              help='int8 PTQ serving; each stream self-calibrates on its '
+                   'first frame')
 @click.option('--mesh', 'use_mesh', is_flag=True, default=False,
               help="shard streams over a 'seq' device mesh")
 @click.option('--max-frames', type=int, default=None)
 @click.option('--loop/--no-loop', default=False,
               help='restart streams at EOF (otherwise stop at the first)')
-def main(streams, network, output_dir, bf16, use_mesh, max_frames, loop):
+def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
+         loop):
     import cv2
     from fosvos_tpu.evaluation import fleet
 
@@ -72,22 +86,34 @@ def main(streams, network, output_dir, bf16, use_mesh, max_frames, loop):
         variables, arch = _load_stream_model(ckpt_path, network)
         var_list.append(variables)
         archs.append(arch)
-    if any(a != archs[0] for a in archs[1:]):
-        raise click.UsageError('all fleet checkpoints must share one '
-                               'topology (widths differ); run mixed-arch '
-                               'fleets as separate processes')
-    if archs[0] == 'vgg16':
-        from fosvos_tpu.models import OSVOSVGG
-        model = OSVOSVGG()
-    else:
-        model = OSVOSResNet(arch=archs[0])
+
+    # one compiled fleet program per distinct topology: streams of the same
+    # arch fuse into one unrolled scan; a mixed fleet dispatches one program
+    # per group each step (arch records are frozen dataclasses -> hashable)
+    group_order, group_idx = [], {}
+    for k, a in enumerate(archs):
+        if a not in group_idx:
+            group_idx[a] = len(group_order)
+            group_order.append(a)
+    groups = [[k for k, a in enumerate(archs) if a == g] for g in group_order]
+    if use_mesh and len(groups) > 1:
+        raise click.UsageError(
+            'a mixed-arch fleet cannot shard over one --mesh (each topology '
+            'is its own program); run per-arch fleets as separate processes')
 
     mesh = None
     if use_mesh:
         from fosvos_tpu.parallel import make_mesh
         mesh = make_mesh(('seq',))
-    server = fleet.FleetServer(model, bf16=bf16, mesh=mesh)
-    stacked = server.put_weights(var_list)
+    servers, stackeds = [], []
+    for arch, idx in zip(group_order, groups):
+        server = fleet.FleetServer(_model_for_arch(arch), bf16=bf16,
+                                   int8=int8, mesh=mesh)
+        servers.append(server)
+        stackeds.append(server.put_weights([var_list[k] for k in idx]))
+    if len(groups) > 1:
+        log.info('mixed-arch fleet: %d topology groups %s',
+                 len(groups), [len(i) for i in groups])
 
     caps = [cv2.VideoCapture(v) for v in videos]
     for v, c in zip(videos, caps):
@@ -114,7 +140,12 @@ def main(streams, network, output_dir, bf16, use_mesh, max_frames, loop):
             frames.append(frame)
         if frames is None:
             break
-        masks = server.segment(stacked, np.stack(frames))
+        masks = [None] * len(caps)
+        for server, stacked, idx in zip(servers, stackeds, groups):
+            group_masks = server.segment(
+                stacked, np.stack([frames[k] for k in idx]))
+            for k, m in zip(idx, group_masks):
+                masks[k] = m
         if out_dirs is not None:
             for d, m in zip(out_dirs, masks):
                 cv2.imwrite(str(d / f'{n:05d}.png'), m)

@@ -53,30 +53,51 @@ class FleetServer:
       model: the (shared) model topology; every stream's weights must fit it.
       bf16: serve in bfloat16 (params cast in-graph, same contract as the
         engine's ``bf16`` flag).
+      int8: serve with post-training-quantized convs (``compress/quantize``:
+        per-channel int8 weights, per-stream calibrated activation scales,
+        int8 x int8 -> int32 MXU contractions). Each stream calibrates
+        against its own frames — on the first :meth:`segment` step if
+        :meth:`calibrate` was not called. Composes with ``bf16`` and
+        ``mesh`` exactly like ``InferenceEngine``.
       mesh: optional ``jax.sharding.Mesh`` with a ``'seq'`` axis — streams
         shard across chips, communication-free; the stream count must
         divide the axis size evenly.
       mean: BGR channel mean subtracted on device from uint8 frames.
     """
 
-    def __init__(self, model, bf16: bool = False, mesh=None,
-                 mean=DAVIS_MEAN_BGR):
+    def __init__(self, model, bf16: bool = False, int8: bool = False,
+                 mesh=None, mean=DAVIS_MEAN_BGR):
         self.model = model
         self.mean = tuple(mean)
         self.mesh = mesh
+        self.int8 = int8
+        self._qtree = None
+        self._calibrated_weights = None
         self._stream_sharding = None
         jit_kwargs = {}
 
-        def one_stream(variables, frame):
+        def cast_in(variables, frame):
             frame = device_preprocess(frame[None], self.mean)
             if bf16:
                 frame = frame.astype(jnp.bfloat16)
                 variables = jax.tree.map(
                     lambda a: a.astype(jnp.bfloat16)
                     if a.dtype == jnp.float32 else a, variables)
-            outs = model.apply(variables, frame, train=False)
+            return variables, frame
+
+        def to_mask(outs):
             prob = jax.nn.sigmoid(outs[-1][0, ..., 0].astype(jnp.float32))
             return jnp.round(prob * 255.0).astype(jnp.uint8)
+
+        def one_stream(variables, frame):
+            variables, frame = cast_in(variables, frame)
+            return to_mask(model.apply(variables, frame, train=False))
+
+        def one_stream_q(variables, qtree, frame):
+            from fosvos_tpu.compress import quantize
+            variables, frame = cast_in(variables, frame)
+            return to_mask(quantize.quantized_apply(
+                model, variables, qtree, frame))
 
         def scan_streams(stacked_variables, frames):
             # fully unrolled: per-stream params indexing becomes static, so
@@ -85,6 +106,12 @@ class FleetServer:
             _, masks = jax.lax.scan(
                 lambda c, vx: (c, one_stream(*vx)), None,
                 (stacked_variables, frames), unroll=True)
+            return masks
+
+        def scan_streams_q(stacked_variables, stacked_qtree, frames):
+            _, masks = jax.lax.scan(
+                lambda c, vx: (c, one_stream_q(*vx)), None,
+                (stacked_variables, stacked_qtree, frames), unroll=True)
             return masks
 
         if mesh is not None:
@@ -97,6 +124,8 @@ class FleetServer:
             jit_kwargs = dict(in_shardings=(self._stream_sharding,
                                             self._stream_sharding),
                               out_shardings=self._stream_sharding)
+            q_jit_kwargs = dict(in_shardings=(self._stream_sharding,) * 3,
+                                out_shardings=self._stream_sharding)
             spec = P('seq')
 
             @functools.partial(jax.jit, **jit_kwargs)
@@ -107,10 +136,19 @@ class FleetServer:
                     scan_streams, mesh=mesh,
                     in_specs=(spec, spec), out_specs=spec,
                 )(stacked_variables, frames)
+
+            @functools.partial(jax.jit, **q_jit_kwargs)
+            def forward_fleet_q(stacked_variables, stacked_qtree, frames):
+                return jax.shard_map(
+                    scan_streams_q, mesh=mesh,
+                    in_specs=(spec, spec, spec), out_specs=spec,
+                )(stacked_variables, stacked_qtree, frames)
         else:
             forward_fleet = jax.jit(scan_streams)
+            forward_fleet_q = jax.jit(scan_streams_q)
 
         self._forward_fleet = forward_fleet
+        self._forward_fleet_q = forward_fleet_q
 
     def put_weights(self, variables_list: Sequence[Any]) -> Any:
         """Stack per-stream variables and pin them in HBM (sharded over the
@@ -126,8 +164,48 @@ class FleetServer:
             return jax.device_put(stacked, self._stream_sharding)
         return jax.device_put(stacked)
 
+    @staticmethod
+    def _weights_key(stacked_variables):
+        """Identity of the served weights (``InferenceEngine._weights_key``
+        contract): the ``params`` subtree when present, else the whole
+        tree."""
+        try:
+            return stacked_variables['params']
+        except (TypeError, KeyError):
+            return stacked_variables
+
+    def calibrate(self, stacked_variables, frames: np.ndarray) -> None:
+        """Build per-stream int8 scales/kernels: stream k calibrates on
+        ``frames[k]`` against its own weights, then the S quantized trees
+        stack over the stream axis like the float params."""
+        from fosvos_tpu.compress import quantize
+        if not self.int8:
+            raise ValueError('fleet server was not built with int8=True')
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        qtrees = []
+        for k in range(n):
+            vars_k = jax.tree.map(lambda a: a[k], stacked_variables)
+            qp = quantize.build_qparams(
+                self.model, vars_k, [frames[k][None]],
+                preprocess=lambda x: device_preprocess(x, self.mean))
+            qtrees.append(qp.tree())
+        stacked_q = jax.tree.map(lambda *xs: jnp.stack(xs), *qtrees)
+        if self._stream_sharding is not None:
+            stacked_q = jax.device_put(stacked_q, self._stream_sharding)
+        self._qtree = stacked_q
+        self._calibrated_weights = self._weights_key(stacked_variables)
+
     def segment(self, stacked_variables, frames: np.ndarray) -> np.ndarray:
         """(S, H, W, 3) uint8 BGR (or preprocessed float32) frames — one per
         stream — to (S, H, W) uint8 sigmoid maps, one dispatch."""
+        if self.int8:
+            # re-quantize when the served weights change — stale int8
+            # kernels would silently serve the previous fleet
+            if (self._qtree is None or self._calibrated_weights
+                    is not self._weights_key(stacked_variables)):
+                self.calibrate(stacked_variables, np.asarray(frames))
+            return np.asarray(self._forward_fleet_q(
+                stacked_variables, self._qtree, jnp.asarray(frames)))
         return np.asarray(self._forward_fleet(stacked_variables,
                                               jnp.asarray(frames)))

@@ -142,3 +142,15 @@ class VGGArch:
         d = json.loads(s)
         d['stages'] = tuple(tuple(st) for st in d['stages'])
         return VGGArch(**d)
+
+
+def arch_from_json(s: str):
+    """Parse a checkpoint's ``.arch.json`` into the matching arch record.
+
+    The two arch families are distinguished by their fields: only
+    :class:`ResNetArch` carries ``version``/``block``.
+    """
+    d = json.loads(s)
+    if 'version' in d or 'block' in d:
+        return ResNetArch.from_json(s)
+    return VGGArch.from_json(s)

@@ -344,30 +344,47 @@ def test_fleet_cli_two_streams(tmp_path):
         np.testing.assert_array_equal(got, want[0])
 
 
-def test_fleet_cli_rejects_mixed_arch(tmp_path):
+def test_fleet_cli_mixed_arch_groups(tmp_path):
+    """A mixed-topology fleet serves as one compiled program per arch
+    group; each stream's mask matches its own single-model engine. With
+    --mesh the mixed fleet is rejected (one 'seq' axis, two programs)."""
     import cv2
-    model_a = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
-    va = model_a.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
-    model_b = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=3))
-    vb = model_b.init(jax.random.PRNGKey(1),
-                      jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
-    ckpt_dir = tmp_path / 'models'
-    checkpoint.save(str(ckpt_dir), 'a', jax.tree.map(jnp.asarray, va),
-                    model_a.arch.to_json())
-    checkpoint.save(str(ckpt_dir), 'b', jax.tree.map(jnp.asarray, vb),
-                    model_b.arch.to_json())
-    video = str(tmp_path / 'v.avi')
-    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8, (48, 32))
-    vw.write(np.zeros((32, 48, 3), np.uint8))
-    vw.release()
+    from fosvos_tpu.evaluation import experiment
+
+    models, specs = [], []
+    for k, (name, sde) in enumerate([('a', 4), ('b', 3)]):
+        model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=sde))
+        v = model.init(jax.random.PRNGKey(k),
+                       jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+        ckpt_dir = tmp_path / 'models'
+        checkpoint.save(str(ckpt_dir), name, jax.tree.map(jnp.asarray, v),
+                        model.arch.to_json())
+        video = str(tmp_path / f'{name}.avi')
+        vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8,
+                             (48, 32))
+        vw.write(np.full((32, 48, 3), 40 * (k + 1), np.uint8))
+        vw.release()
+        models.append((model, v, video))
+        specs += ['--stream', f'{video}={ckpt_dir}/{name}.npz']
+
+    from fosvos_tpu.cli import fleet as fleet_cli
+    out = tmp_path / 'out'
+    fleet_cli.main(specs + ['--output-dir', str(out), '--max-frames', '1'],
+                   standalone_mode=False)
+
+    for name, (model, v, video) in zip(['a', 'b'], models):
+        cap = cv2.VideoCapture(video)
+        ok, frame0 = cap.read()
+        cap.release()
+        assert ok
+        engine = experiment.InferenceEngine(model, 1)
+        want = engine.masks_for_sequence(v, frame0[None])
+        got = cv2.imread(str(out / name / '00000.png'), 0)
+        np.testing.assert_array_equal(got, want[0])
 
     import click
-    from fosvos_tpu.cli import fleet as fleet_cli
-    with pytest.raises(click.UsageError, match='topology'):
-        fleet_cli.main(['--stream', f'{video}={ckpt_dir}/a.npz',
-                        '--stream', f'{video}={ckpt_dir}/b.npz'],
-                       standalone_mode=False)
+    with pytest.raises(click.UsageError, match='mixed-arch'):
+        fleet_cli.main(specs + ['--mesh'], standalone_mode=False)
 
 
 def test_fleet_cli_vgg_network_flag(tmp_path):
@@ -393,3 +410,11 @@ def test_fleet_cli_vgg_network_flag(tmp_path):
                     '--network', 'vgg16', '--output-dir', str(out),
                     '--max-frames', '1'], standalone_mode=False)
     assert len(list((out / 'v').glob('*.png'))) == 1
+
+    # --int8: first-frame self-calibration, same wiring end-to-end
+    out8 = tmp_path / 'out8'
+    fleet_cli.main(['--stream', f'{video}={ckpt_dir}/v.npz',
+                    '--network', 'vgg16', '--int8',
+                    '--output-dir', str(out8), '--max-frames', '1'],
+                   standalone_mode=False)
+    assert len(list((out8 / 'v').glob('*.png'))) == 1

@@ -302,3 +302,32 @@ def test_fleet_server_bf16_close(db):
     m16 = s16.segment(s16.put_weights(var_list), frames)
     assert np.mean(np.abs(m16.astype(int) - m32.astype(int))) < 8
     assert np.mean((m16 >= 128) == (m32 >= 128)) > 0.99
+
+
+def test_fleet_server_int8_matches_int8_engine(db):
+    """int8 fleet serving: per-stream self-calibration must reproduce the
+    int8 InferenceEngine calibrated on the same frame, per stream, exactly
+    — and stay close to the float fleet."""
+    from fosvos_tpu.evaluation import fleet
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(2)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+    frames = imgs[:2]
+
+    s8 = fleet.FleetServer(model, int8=True)
+    stacked = s8.put_weights(var_list)
+    m8 = s8.segment(stacked, frames)     # first call self-calibrates
+
+    for k in range(2):
+        engine = experiment.InferenceEngine(model, 1, int8=True)
+        engine.calibrate(var_list[k], frames[k:k + 1])
+        want = engine.masks_for_sequence(var_list[k], frames[k:k + 1])
+        np.testing.assert_array_equal(m8[k], want[0])
+
+    s32 = fleet.FleetServer(model)
+    m32 = s32.segment(s32.put_weights(var_list), frames)
+    assert np.mean((m8 >= 128) == (m32 >= 128)) > 0.95
