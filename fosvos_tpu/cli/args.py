@@ -10,8 +10,12 @@ def get_base_parser() -> argparse.ArgumentParser:
                         default=None, type=int,
                         help='Device index to use (name kept for parity)')
     parser.add_argument('--network', default='vgg16', type=str,
-                        choices=['vgg16', 'resnet18', 'resnet34'],
-                        help='The network to use')
+                        choices=['vgg16', 'resnet18', 'resnet34', 'resnet50',
+                                 'resnet101', 'resnet152'],
+                        help='The network to use (the reference CLI stops at '
+                             'resnet34, args_helper.py:8-9; its model layer '
+                             'supports the full family, osvos_resnet.py:74-88 '
+                             '— exposed here end-to-end)')
     parser.add_argument('--no-training', action='store_true',
                         help='Skip the training phase')
     parser.add_argument('--no-testing', action='store_true',

@@ -59,7 +59,8 @@ def _model_for_arch(arch):
 @click.option('--output-dir', type=click.Path(file_okay=False),
               default=None, help='write per-stream mask PNGs here')
 @click.option('--network', default='resnet18',
-              type=click.Choice(['vgg16', 'resnet18', 'resnet34']),
+              type=click.Choice(['vgg16', 'resnet18', 'resnet34', 'resnet50',
+                                 'resnet101', 'resnet152']),
               help='topology for checkpoints without an .arch.json '
                    '(pruned/mimic checkpoints carry their own)')
 @click.option('--bf16', is_flag=True, default=False)

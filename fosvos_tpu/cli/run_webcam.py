@@ -18,7 +18,8 @@ import click
 import numpy as np
 
 from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
-from fosvos_tpu.models import OSVOSResNet, OSVOSVGG, ResNetArch, resnet_arch
+from fosvos_tpu.models import (OSVOSResNet, OSVOSVGG, VGGArch,
+                               arch_from_json, resnet_arch)
 from fosvos_tpu.models import import_torch
 from fosvos_tpu.runtime import checkpoint
 from fosvos_tpu.runtime.logging import get_logger
@@ -39,7 +40,7 @@ def get_network(variant: str, version: Optional[int],
         model = OSVOSVGG()
         default = Path(path_models) / 'vgg16'
     elif variant == 'resnet':
-        version = 34 if version == 34 else 18
+        version = version if version in (18, 34, 50, 101, 152) else 18
         model = OSVOSResNet(arch=resnet_arch(version))
         default = Path(path_models) / f'resnet{version}'
     elif variant in ('prune', 'mimic'):
@@ -66,7 +67,9 @@ def get_network(variant: str, version: Optional[int],
             if arch_json is None:
                 raise ValueError(f'{path}: pruned/mimic checkpoint needs '
                                  'an .arch.json next to the .npz')
-            model = OSVOSResNet(arch=ResNetArch.from_json(arch_json))
+            arch = arch_from_json(arch_json)
+            model = (OSVOSVGG(arch=arch) if isinstance(arch, VGGArch)
+                     else OSVOSResNet(arch=arch))
     variables = jax.tree.map(jnp.asarray, variables)
     return model, variables
 

@@ -265,7 +265,8 @@ def main(argv=None):
     settings.int8 = getattr(args, 'int8', False)
 
     provider_class = provider_mapping[('offline', args.network)]
-    version = 34 if args.network == 'resnet34' else 18
+    version = (int(args.network.removeprefix('resnet'))
+               if args.network.startswith('resnet') else 18)
     net_provider = provider_class(args.network, save_dir_models, settings,
                                   variant_offline=args.variant_offline,
                                   version=version,

@@ -210,7 +210,8 @@ def main(argv=None):
     settings.bf16 = getattr(args, 'bf16', False)
 
     provider_class = provider_mapping[('online', args.network)]
-    version = 34 if args.network == 'resnet34' else 18
+    version = (int(args.network.removeprefix('resnet'))
+               if args.network.startswith('resnet') else 18)
     net_provider = provider_class(args.network, save_dir_models, settings,
                                   variant_offline=args.variant_offline,
                                   variant_online=args.variant_online,

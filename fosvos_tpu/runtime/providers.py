@@ -222,4 +222,12 @@ provider_mapping: Dict[Tuple[str, str], Type[NetworkProvider]] = {
     ('online', 'resnet18'): ResNetOnlineProvider,
     ('offline', 'resnet34'): ResNetOfflineProvider,
     ('online', 'resnet34'): ResNetOnlineProvider,
+    # beyond the reference CLI (args_helper.py:8-9): the reference model
+    # layer supports the full family (osvos_resnet.py:74-88), exposed here
+    ('offline', 'resnet50'): ResNetOfflineProvider,
+    ('online', 'resnet50'): ResNetOnlineProvider,
+    ('offline', 'resnet101'): ResNetOfflineProvider,
+    ('online', 'resnet101'): ResNetOnlineProvider,
+    ('offline', 'resnet152'): ResNetOfflineProvider,
+    ('online', 'resnet152'): ResNetOnlineProvider,
 }

@@ -150,10 +150,32 @@ def test_vgg_provider_caffe_trunk(tmp_path):
 
 
 def test_provider_mapping_complete():
-    assert set(provider_mapping) == {
-        ('offline', 'vgg16'), ('online', 'vgg16'),
-        ('offline', 'resnet18'), ('online', 'resnet18'),
-        ('offline', 'resnet34'), ('online', 'resnet34')}
+    nets = ['vgg16', 'resnet18', 'resnet34',
+            # beyond the reference CLI: the full resnet family
+            'resnet50', 'resnet101', 'resnet152']
+    assert set(provider_mapping) == {(mode, net) for mode in
+                                     ('offline', 'online') for net in nets}
+
+
+def test_resnet50_provider_roundtrip(tmp_path):
+    """The bottleneck family is reachable end-to-end through the provider
+    registry: init, save with arch JSON, reload, tiny forward."""
+    import jax
+    import jax.numpy as jnp
+    from fosvos_tpu.config.settings import OfflineSettings
+
+    settings = OfflineSettings(n_epochs=1)
+    provider = provider_mapping[('offline', 'resnet50')](
+        'resnet50', str(tmp_path), settings, variant_offline=11, version=50)
+    provider.init_network()
+    assert provider.model.arch.version == 50
+    assert provider.model.arch.block == 'bottleneck'
+    provider.save_model(0)
+    provider.load_model(0)
+    out = provider.model.apply(provider.variables,
+                               jnp.zeros((1, 32, 48, 3), jnp.float32),
+                               train=False)
+    assert out[-1].shape == (1, 32, 48, 1)
 
 
 def test_online_cli_end_to_end(db, tmp_path, monkeypatch):
