@@ -110,3 +110,46 @@ def test_calibration_margin_and_multiple_batches(tiny_resnet):
     s1 = float(qp1.act_scale['base_conv'])
     assert float(qp12.act_scale['base_conv']) >= s1
     assert float(qpm.act_scale['base_conv']) == pytest.approx(2 * s1, rel=1e-5)
+
+
+def test_int8_composes_with_pruned_model(tiny_resnet):
+    """The acceleration legs compose: a channel-pruned model (materialized to
+    its small functional form, ``compress/prune.py:materialize``) can be
+    int8-quantized and served like any other model. Mirrors the reference's
+    stacking of prune + speed eval (``/root/reference/src/prune.py:634-640``)
+    with the TPU-native PTQ leg on top."""
+    from fosvos_tpu.compress import prune
+    from fosvos_tpu.models import resnet_arch
+
+    arch = resnet_arch(18, scale_down_exponent=3)
+    model = OSVOSResNet(arch=arch)
+    x0 = jnp.asarray(_frames(seed=7))
+    variables = model.init(jax.random.PRNGKey(2), x0[:1], train=False)
+
+    # prune ~1/8 of the channels at every site, materialize the small net
+    rng = np.random.RandomState(3)
+    masks = prune.init_masks(arch)
+    plan = []
+    for site, width in prune.mask_sites(arch).items():
+        for c in rng.choice(width, size=max(1, width // 8), replace=False):
+            plan.append((site, int(c)))
+    masks = prune.apply_plan(masks, plan)
+    small_arch, small_vars = prune.materialize(arch, variables, masks)
+    small_model = OSVOSResNet(arch=small_arch)
+    small_vars = {
+        'params': jax.tree.map(jnp.asarray, small_vars['params']),
+        'batch_stats': jax.tree.map(jnp.asarray, small_vars['batch_stats']),
+    }
+
+    ref = small_model.apply(small_vars, x0, train=False)
+    qp = quantize.build_qparams(small_model, small_vars, [_frames(seed=8)])
+    # every conv of the pruned net is quantized (none silently skipped)
+    paths = quantize.conv_paths(small_model, small_vars, x0[:1])
+    assert set(qp.wscale) == set(paths)
+    out = quantize.quantized_apply(small_model, small_vars, qp.tree(), x0)
+    for o, r in zip(out, ref):
+        r, o = np.asarray(r, np.float32), np.asarray(o, np.float32)
+        assert np.abs(o - r).max() / (np.abs(r).max() + 1e-6) < 0.12
+    agree = np.mean(np.sign(np.asarray(out[-1]))
+                    == np.sign(np.asarray(ref[-1])))
+    assert agree > 0.95
