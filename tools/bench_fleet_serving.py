@@ -31,6 +31,9 @@ def main():
     ap.add_argument('--streams', type=int, default=8)
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--dtype', default='bf16', choices=['fp32', 'bf16'])
+    ap.add_argument('--int8', action='store_true',
+                    help='PTQ convs (per-stream calibration on the bench '
+                         'frames) on top of --dtype')
     ap.add_argument('--size', default='480x854')
     ap.add_argument('--skip-sequential', action='store_true')
     args = ap.parse_args()
@@ -45,28 +48,35 @@ def main():
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 256, size=(S, h, w, 3), dtype=np.uint8)
 
-    server = fleet.FleetServer(model, bf16=bf16)
+    server = fleet.FleetServer(model, bf16=bf16, int8=args.int8)
     stacked = server.put_weights(var_list)
-    server.segment(stacked, frames)  # compile + warm
+    server.segment(stacked, frames)  # compile + warm (+ int8 calibration)
 
     # device-resident frames: measures dispatch+compute throughput (what a
     # PCIe host sees; behind this tunnel per-step H2D of S 480p frames
     # dominates everything and benchmarks the link, not the server)
     dframes = jax.device_put(jnp.asarray(frames))
+    label = args.dtype + ('+int8' if args.int8 else '')
+    if args.int8:
+        step = lambda: server._forward_fleet_q(stacked, server._qtree,
+                                               dframes)
+    else:
+        step = lambda: server._forward_fleet(stacked, dframes)
     # pipelined in-order fence (runtime.timing semantics)
     best = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
         r = None
         for _ in range(args.steps):
-            r = server._forward_fleet(stacked, dframes)
+            r = step()
         np.asarray(r[0, 0, :8])
         best = min(best, (time.perf_counter() - t0) / args.steps)
-    print(f'fleet {args.dtype}: {S} streams/dispatch, '
+    print(f'fleet {label}: {S} streams/dispatch, '
           f'{best * 1e3:.1f} ms/step, {S / best:.1f} frames/s aggregate')
 
-    if args.skip_sequential:
-        return
+    if args.skip_sequential or args.int8:
+        return  # (int8: the fleet-vs-sequential A/B is a float-path design
+        #          question, already measured; int8 adds nothing to it)
     # alternative: S per-stream dispatches (weights resident, one engine
     # program reused; the per-call enqueue round-trips dominate behind a
     # high-latency link)
