@@ -1,0 +1,222 @@
+"""Elastic fleet serving: streams join/leave without per-change recompiles.
+
+:class:`fosvos_tpu.evaluation.fleet.FleetServer` compiles one program per
+stream count S (the unrolled scan is specialized to S). A production fleet
+is not static — cameras connect and disconnect — and naively re-stacking
+the fleet at the new S pays a full 480p recompile (minutes on first sight)
+plus a full re-upload of every stream's weights.
+
+:class:`ElasticFleet` makes membership changes O(one stream) and keeps the
+compiled-program set bounded, the XLA way — static shapes + bucketing:
+
+* a **capacity-sized slot tree** stays resident in HBM; a joining stream
+  writes its weights into one free slot (one-slot ``.at[k].set`` scatter —
+  uploads only that stream's weights), a leaving stream just frees its
+  slot index on the host;
+* serving **gathers the active slots, on device, into a bucket-sized
+  stacked tree** (buckets = powers of two up to capacity, or multiples of
+  the mesh's ``'seq'`` axis when sharded) and runs the ``FleetServer``
+  program for that bucket size. At most ``log2(capacity)`` fleet programs
+  ever compile, each exactly once, and at most half the bucket's scanned
+  forwards are padding;
+* padding slots repeat the last active stream's index, so the padded
+  program stays shape-identical while the wasted compute is a duplicate
+  forward whose mask is dropped on the host.
+
+The reference has no serving story beyond one process per stream
+(``/root/reference/src/run_webcam.py``); elasticity there is "start or
+kill a process". Here it is two host-side dicts and three tiny jitted
+helpers around the measured fleet design.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
+from fosvos_tpu.evaluation.fleet import FleetServer
+
+
+def _bucket_sizes(capacity: int, quantum: int) -> Tuple[int, ...]:
+    """Ascending serve sizes: the smallest power-of-two multiples of
+    ``quantum`` covering 1..capacity (quantum = the mesh 'seq' axis size,
+    1 off-mesh)."""
+    sizes: List[int] = []
+    b = quantum
+    while b < capacity:
+        sizes.append(b)
+        b *= 2
+    sizes.append(capacity)
+    return tuple(sizes)
+
+
+class ElasticFleet:
+    """A :class:`FleetServer` whose stream set can change cheaply.
+
+    Args:
+      model: shared topology for every stream (same contract as
+        ``FleetServer``).
+      capacity: maximum concurrent streams; the slot tree is allocated at
+        this size on the first :meth:`add`.
+      bf16 / int8 / mesh / mean: forwarded to :class:`FleetServer`. With a
+        mesh, ``capacity`` must be a multiple of the ``'seq'`` axis size
+        and buckets are ``seq``-axis multiples instead of raw powers of
+        two.
+    """
+
+    def __init__(self, model, capacity: int, bf16: bool = False,
+                 int8: bool = False, mesh=None, mean=DAVIS_MEAN_BGR):
+        if capacity < 1:
+            raise ValueError('capacity must be >= 1')
+        quantum = 1
+        if mesh is not None:
+            quantum = mesh.shape['seq']
+            if capacity % quantum:
+                raise ValueError(
+                    f'capacity {capacity} must be a multiple of the '
+                    f"{quantum}-device 'seq' axis")
+        self.capacity = capacity
+        self._server = FleetServer(model, bf16=bf16, int8=int8, mesh=mesh,
+                                   mean=mean)
+        self._buckets = _bucket_sizes(capacity, quantum)
+        self._slots = None            # capacity-stacked variables tree
+        self._qslots = None           # capacity-stacked int8 qparam tree
+        self._active: List[int] = []  # slot ids, serving order
+        self._free: List[int] = []
+        self._int8 = int8
+
+        # the slot tree is donated: the one-slot scatter aliases the
+        # resident buffers instead of copying the whole capacity tree
+        @functools.partial(jax.jit, donate_argnums=0)
+        def set_slot(stacked, k, variables):
+            return jax.tree.map(lambda s, v: s.at[k].set(v), stacked,
+                                variables)
+
+        def gather(stacked, idx):
+            return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), stacked)
+
+        self._set_slot = set_slot
+        # the fleet program requires 'seq'-sharded inputs; pin the gathered
+        # bucket tree's sharding (jnp.take would otherwise replicate it)
+        sharding = self._server._stream_sharding
+        self._gather = jax.jit(
+            gather, **({'out_shardings': sharding} if sharding is not None
+                       else {}))
+
+    # -- membership -------------------------------------------------------
+
+    @property
+    def active_slots(self) -> Tuple[int, ...]:
+        """Slot ids in serving order — ``segment``'s frames and returned
+        masks align with this tuple."""
+        return tuple(self._active)
+
+    def add(self, variables, calib_frame: Optional[np.ndarray] = None
+            ) -> int:
+        """Register a stream; returns its slot id.
+
+        Uploads only this stream's weights (one-slot scatter into the
+        resident tree). With ``int8=True`` a ``calib_frame`` (H, W, 3)
+        is required: the stream's activation scales are calibrated against
+        its own weights before it ever serves.
+        """
+        if self._int8 and calib_frame is None:
+            raise ValueError('int8 elastic fleet: add(..., calib_frame=) '
+                             'is required to calibrate the joining stream')
+        if self._slots is None:
+            # first stream: allocate the capacity tree by broadcasting it
+            self._slots = self._server.put_weights(
+                [variables] * self.capacity)
+            self._active = [0]
+            self._free = list(range(1, self.capacity))
+            k = 0
+        else:
+            if not self._free:
+                raise ValueError(f'fleet is at capacity ({self.capacity})')
+            k = self._free.pop(0)
+            self._slots = self._set_slot(self._slots, k,
+                                         jax.tree.map(jnp.asarray,
+                                                      variables))
+            self._active.append(k)
+        if self._int8:
+            self._calibrate_slot(k, variables, calib_frame)
+        return k
+
+    def remove(self, slot: int) -> None:
+        """Deactivate a stream; its HBM slot is recycled for the next
+        :meth:`add`. Nothing device-side happens."""
+        self._active.remove(slot)
+        self._free.insert(0, slot)  # freed slots are recycled first
+
+    def swap_weights(self, slot: int, variables,
+                     calib_frame: Optional[np.ndarray] = None) -> None:
+        """Replace one active stream's weights in place (e.g. after a
+        re-adaptation pass) — same one-slot upload as :meth:`add`."""
+        if slot not in self._active:
+            raise ValueError(f'slot {slot} is not active')
+        if self._int8 and calib_frame is None:
+            raise ValueError('int8 elastic fleet: swap_weights needs a '
+                             'calib_frame to re-calibrate the stream')
+        self._slots = self._set_slot(self._slots, slot,
+                                     jax.tree.map(jnp.asarray, variables))
+        if self._int8:
+            self._calibrate_slot(slot, variables, calib_frame)
+
+    def _calibrate_slot(self, k: int, variables, calib_frame) -> None:
+        from fosvos_tpu.compress import quantize
+        from fosvos_tpu.evaluation.experiment import device_preprocess
+        qp = quantize.build_qparams(
+            self._server.model, variables,
+            [np.asarray(calib_frame)[None]],
+            preprocess=lambda x: device_preprocess(x, self._server.mean))
+        qtree = jax.tree.map(jnp.asarray, qp.tree())
+        if self._qslots is None:
+            self._qslots = jax.tree.map(
+                lambda a: jnp.stack([a] * self.capacity), qtree)
+            if self._server._stream_sharding is not None:
+                self._qslots = jax.device_put(self._qslots,
+                                              self._server._stream_sharding)
+        else:
+            self._qslots = self._set_slot(self._qslots, k, qtree)
+
+    # -- serving ----------------------------------------------------------
+
+    def _serve_indices(self) -> Tuple[int, np.ndarray]:
+        n = len(self._active)
+        bucket = next(b for b in self._buckets if b >= n)
+        idx = np.asarray(self._active + [self._active[-1]] * (bucket - n),
+                         np.int32)
+        return n, idx
+
+    def segment(self, frames: np.ndarray) -> np.ndarray:
+        """(n_active, H, W, 3) uint8 frames, aligned with
+        :attr:`active_slots`, to (n_active, H, W) uint8 sigmoid maps.
+
+        One on-device gather of the active slots into the current bucket's
+        stacked tree, one fleet dispatch; padding masks are dropped here.
+        """
+        if not self._active:
+            raise ValueError('no active streams')
+        frames = np.asarray(frames)
+        if frames.shape[0] != len(self._active):
+            raise ValueError(
+                f'{frames.shape[0]} frames for {len(self._active)} active '
+                f'streams (order = active_slots)')
+        n, idx = self._serve_indices()
+        pad = idx.shape[0] - n
+        if pad:
+            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)], 0)
+        idx = jnp.asarray(idx)
+        gathered = self._gather(self._slots, idx)
+        if self._int8:
+            # the per-slot qtrees were calibrated at add/swap time, so the
+            # FleetServer must not re-calibrate against the gathered view
+            self._server._qtree = self._gather(self._qslots, idx)
+            self._server._calibrated_weights = \
+                self._server._weights_key(gathered)
+        masks = self._server.segment(gathered, frames)
+        return masks[:n]

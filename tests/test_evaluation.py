@@ -331,3 +331,95 @@ def test_fleet_server_int8_matches_int8_engine(db):
     s32 = fleet.FleetServer(model)
     m32 = s32.segment(s32.put_weights(var_list), frames)
     assert np.mean((m8 >= 128) == (m32 >= 128)) > 0.95
+
+
+def test_elastic_fleet_membership_parity_bounded_programs(db):
+    """ElasticFleet: joins/leaves reuse the bucketed FleetServer programs
+    (never one compile per membership state) and every active stream's mask
+    equals its own single-model forward exactly."""
+    from fosvos_tpu.evaluation import elastic
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(5)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)        # 4 frames, uint8
+
+    engine = experiment.InferenceEngine(model, 1)
+
+    def want(k_vars, frame):
+        return engine.masks_for_sequence(var_list[k_vars], frame[None])[0]
+
+    ef = elastic.ElasticFleet(model, capacity=4)
+    assert ef.add(var_list[0]) == 0
+    m = ef.segment(imgs[:1])
+    np.testing.assert_array_equal(m[0], want(0, imgs[0]))
+
+    assert ef.add(var_list[1]) == 1 and ef.add(var_list[2]) == 2
+    assert ef.active_slots == (0, 1, 2)
+    m = ef.segment(imgs[:3])                        # bucket 4: one pad slot
+    for i in range(3):
+        np.testing.assert_array_equal(m[i], want(i, imgs[i]))
+    assert m.shape[0] == 3                          # padding dropped
+
+    ef.remove(1)
+    assert ef.active_slots == (0, 2)
+    m = ef.segment(np.stack([imgs[0], imgs[2]]))
+    np.testing.assert_array_equal(m[1], want(2, imgs[2]))
+
+    # a new stream recycles the freed slot; serving order is join order
+    assert ef.add(var_list[3]) == 1
+    assert ef.active_slots == (0, 2, 1)
+    m = ef.segment(np.stack([imgs[0], imgs[2], imgs[3]]))
+    np.testing.assert_array_equal(m[2], want(3, imgs[3]))
+
+    # in-place weight swap for a re-adapted stream
+    ef.swap_weights(2, var_list[4])
+    m = ef.segment(np.stack([imgs[0], imgs[2], imgs[3]]))
+    np.testing.assert_array_equal(m[1], want(4, imgs[2]))
+
+    ef.add(var_list[4])
+    with pytest.raises(ValueError):
+        ef.add(var_list[4])                         # at capacity
+    with pytest.raises(ValueError):
+        ef.segment(imgs[:1])                        # 1 frame, 4 active
+    with pytest.raises(ValueError):
+        ef.swap_weights(7, var_list[0])             # not an active slot
+
+    # the whole churn above compiled at most one program per bucket {1,2,4}
+    assert ef._server._forward_fleet._cache_size() <= 3
+
+
+def test_elastic_fleet_int8_parity(db):
+    """int8 ElasticFleet: each joining stream calibrates against its own
+    weights/frame and serves exactly like its own int8 InferenceEngine;
+    swap_weights re-calibrates."""
+    from fosvos_tpu.evaluation import elastic
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(3)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+
+    ef = elastic.ElasticFleet(model, capacity=2, int8=True)
+    with pytest.raises(ValueError):
+        ef.add(var_list[0])                         # calib_frame required
+    ef.add(var_list[0], calib_frame=imgs[0])
+    ef.add(var_list[1], calib_frame=imgs[1])
+    m = ef.segment(imgs[:2])
+
+    for k in range(2):
+        engine = experiment.InferenceEngine(model, 1, int8=True)
+        engine.calibrate(var_list[k], imgs[k:k + 1])
+        want = engine.masks_for_sequence(var_list[k], imgs[k:k + 1])
+        np.testing.assert_array_equal(m[k], want[0])
+
+    ef.swap_weights(0, var_list[2], calib_frame=imgs[0])
+    m = ef.segment(imgs[:2])
+    engine = experiment.InferenceEngine(model, 1, int8=True)
+    engine.calibrate(var_list[2], imgs[0:1])
+    want = engine.masks_for_sequence(var_list[2], imgs[0:1])
+    np.testing.assert_array_equal(m[0], want[0])

@@ -419,3 +419,57 @@ def test_fleet_server_on_mesh_matches_single_device(db, tiny):
     sharded = fleet.FleetServer(model, mesh=mesh, mean=ds.meanval)
     out = sharded.segment(sharded.put_weights(var_list), frames)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_elastic_fleet_on_mesh_matches_single_device(db, tiny):
+    """ElasticFleet over a 'seq' mesh: membership churn + serving must
+    reproduce the single-device elastic fleet exactly (capacity a multiple
+    of the axis, bucket = the axis-sized fleet program)."""
+    from fosvos_tpu.evaluation import elastic
+
+    model, _ = tiny
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(3)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    images, _, _ = ds.load_sequence(ds.sequence_names[0], raw=True)
+    frames = np.stack([images[k % len(images)] for k in range(3)])
+
+    single = elastic.ElasticFleet(model, capacity=8, mean=ds.meanval)
+    mesh = make_mesh(('seq',))
+    with pytest.raises(ValueError):
+        elastic.ElasticFleet(model, capacity=6, mesh=mesh)  # 6 % 8 != 0
+    sharded = elastic.ElasticFleet(model, capacity=8, mesh=mesh,
+                                   mean=ds.meanval)
+    for ef in (single, sharded):
+        for v in var_list:
+            ef.add(v)
+        ef.remove(1)
+    np.testing.assert_array_equal(
+        sharded.segment(frames[[0, 2]]), single.segment(frames[[0, 2]]))
+
+
+def test_elastic_fleet_int8_on_mesh_matches_single_device(db, tiny):
+    """int8 ElasticFleet on a 'seq' mesh: the sharded per-slot calibration
+    (qparam slot tree device_put + one-slot scatters) must reproduce the
+    single-device int8 elastic fleet exactly."""
+    from fosvos_tpu.evaluation import elastic
+
+    model, _ = tiny
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(2)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db)
+    images, _, _ = ds.load_sequence(ds.sequence_names[0], raw=True)
+    frames = images[:2]
+
+    single = elastic.ElasticFleet(model, capacity=8, int8=True,
+                                  mean=ds.meanval)
+    sharded = elastic.ElasticFleet(model, capacity=8, int8=True,
+                                   mesh=make_mesh(('seq',)),
+                                   mean=ds.meanval)
+    for ef in (single, sharded):
+        for k, v in enumerate(var_list):
+            ef.add(v, calib_frame=frames[k])
+    np.testing.assert_array_equal(sharded.segment(frames),
+                                  single.segment(frames))
