@@ -11,11 +11,16 @@ pruned or width-scaled students) runs one compiled program per distinct
 arch, streams grouped automatically. ``--int8`` serves every group with
 PTQ convs, each stream self-calibrated on its first frame.
 
+``--elastic`` serves mixed-length videos: a stream leaves the fleet at its
+own EOF (freeing its weight slot) and the rest keep going from the next
+bucketed program — no recompile, no re-upload (``evaluation/elastic.py``).
+
 Usage:
   python -m fosvos_tpu.cli.fleet \
       --stream walking.mp4=models/resnet18_11_11_walking_epoch-9999.npz \
       --stream blackswan.mp4=models/resnet18_11_11_blackswan_epoch-9999.npz \
-      [--output-dir fleet_out] [--bf16] [--int8] [--max-frames N] [--mesh]
+      [--output-dir fleet_out] [--bf16] [--int8] [--max-frames N] [--mesh] \
+      [--elastic]
 """
 from __future__ import annotations
 
@@ -72,10 +77,18 @@ def _model_for_arch(arch):
 @click.option('--max-frames', type=int, default=None)
 @click.option('--loop/--no-loop', default=False,
               help='restart streams at EOF (otherwise stop at the first)')
+@click.option('--elastic', is_flag=True, default=False,
+              help='streams leave the fleet at their own EOF instead of '
+                   'stopping everyone (evaluation/elastic.py: bucketed '
+                   'programs, no recompile as the fleet shrinks)')
 def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
-         loop):
+         loop, elastic):
     import cv2
     from fosvos_tpu.evaluation import fleet
+
+    if elastic and loop:
+        raise click.UsageError('--elastic is pointless with --loop '
+                               '(looping streams never end)')
 
     videos, var_list, archs = [], [], []
     for spec in streams:
@@ -106,15 +119,6 @@ def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
     if use_mesh:
         from fosvos_tpu.parallel import make_mesh
         mesh = make_mesh(('seq',))
-    servers, stackeds = [], []
-    for arch, idx in zip(group_order, groups):
-        server = fleet.FleetServer(_model_for_arch(arch), bf16=bf16,
-                                   int8=int8, mesh=mesh)
-        servers.append(server)
-        stackeds.append(server.put_weights([var_list[k] for k in idx]))
-    if len(groups) > 1:
-        log.info('mixed-arch fleet: %d topology groups %s',
-                 len(groups), [len(i) for i in groups])
 
     caps = [cv2.VideoCapture(v) for v in videos]
     for v, c in zip(videos, caps):
@@ -126,6 +130,21 @@ def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
         out_dirs = [Path(output_dir) / n for n in names]
         for d in out_dirs:
             d.mkdir(parents=True, exist_ok=True)
+
+    if elastic:
+        _serve_elastic(caps, names, out_dirs, var_list, group_order, groups,
+                       bf16, int8, mesh, max_frames)
+        return
+
+    servers, stackeds = [], []
+    for arch, idx in zip(group_order, groups):
+        server = fleet.FleetServer(_model_for_arch(arch), bf16=bf16,
+                                   int8=int8, mesh=mesh)
+        servers.append(server)
+        stackeds.append(server.put_weights([var_list[k] for k in idx]))
+    if len(groups) > 1:
+        log.info('mixed-arch fleet: %d topology groups %s',
+                 len(groups), [len(i) for i in groups])
 
     n, t0 = 0, time.perf_counter()
     while max_frames is None or n < max_frames:
@@ -158,6 +177,85 @@ def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
     dt = time.perf_counter() - t0
     log.info('fleet done: %d steps x %d streams in %.2fs (%.1f frames/s '
              'aggregate)', n, len(caps), dt, n * len(caps) / max(dt, 1e-9))
+    for c in caps:
+        c.release()
+
+
+def _serve_elastic(caps, names, out_dirs, var_list, group_order, groups,
+                   bf16, int8, mesh, max_frames):
+    """Elastic serve loop: each stream leaves the fleet at its own EOF.
+
+    One :class:`evaluation.elastic.ElasticFleet` per arch group; a stream
+    whose video ends frees its slot and the group keeps serving from the
+    next (smaller) bucket — no recompile, no weight re-upload.
+    """
+    import cv2
+    from fosvos_tpu.evaluation import elastic as elastic_mod
+
+    # prime every stream with its first frame (also the int8 calibration
+    # frame, matching the static fleet's self-calibration contract)
+    cur = []
+    for name, c in zip(names, caps):
+        ok, frame = c.read()
+        if not ok:
+            raise click.UsageError(f'cannot read a frame from {name!r}')
+        cur.append(frame)
+
+    fleets = []
+    for arch, idx in zip(group_order, groups):
+        cap_n = len(idx)
+        if mesh is not None:  # capacity must tile the 'seq' axis
+            q = mesh.shape['seq']
+            cap_n = -(-cap_n // q) * q
+        ef = elastic_mod.ElasticFleet(_model_for_arch(arch), capacity=cap_n,
+                                      bf16=bf16, int8=int8, mesh=mesh)
+        slot_to_stream = {}
+        for k in idx:
+            slot = ef.add(var_list[k],
+                          calib_frame=cur[k] if int8 else None)
+            slot_to_stream[slot] = k
+        fleets.append((ef, slot_to_stream))
+
+    counts = [0] * len(caps)
+    n, total, t0 = 0, 0, time.perf_counter()
+    while (any(s for _, s in fleets)
+           and (max_frames is None or n < max_frames)):
+        for ef, slot_to_stream in fleets:
+            if not slot_to_stream:
+                continue
+            order = ef.active_slots
+            masks = ef.segment(
+                np.stack([cur[slot_to_stream[s]] for s in order]))
+            for s, m in zip(order, masks):
+                k = slot_to_stream[s]
+                if out_dirs is not None:
+                    cv2.imwrite(str(out_dirs[k] / f'{counts[k]:05d}.png'),
+                                m)
+                counts[k] += 1
+                total += 1
+        n += 1
+        # advance each live stream; EOF -> the stream leaves its fleet
+        for ef, slot_to_stream in fleets:
+            for s in list(slot_to_stream):
+                k = slot_to_stream[s]
+                ok, frame = caps[k].read()
+                if ok:
+                    cur[k] = frame
+                else:
+                    ef.remove(s)
+                    del slot_to_stream[s]
+                    log.info('stream %s ended after %d frames; %d streams '
+                             'remain', names[k], counts[k],
+                             sum(len(s2) for _, s2 in fleets))
+        if n % 10 == 0:
+            fps = total / (time.perf_counter() - t0)
+            log.info('elastic fleet: %d steps, %.1f frames/s aggregate, '
+                     '%d live streams', n, fps,
+                     sum(len(s2) for _, s2 in fleets))
+    dt = time.perf_counter() - t0
+    log.info('elastic fleet done: %d frames over %d streams in %.2fs '
+             '(%.1f frames/s aggregate)', total, len(caps), dt,
+             total / max(dt, 1e-9))
     for c in caps:
         c.release()
 

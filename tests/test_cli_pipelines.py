@@ -418,3 +418,58 @@ def test_fleet_cli_vgg_network_flag(tmp_path):
                     '--output-dir', str(out8), '--max-frames', '1'],
                    standalone_mode=False)
     assert len(list((out8 / 'v').glob('*.png'))) == 1
+
+
+def test_fleet_cli_elastic_mixed_lengths(tmp_path):
+    """--elastic: streams of different video lengths each run to their own
+    EOF (the static fleet stops everyone at the first EOF); every written
+    mask matches the stream's own single-model engine."""
+    import cv2
+    from fosvos_tpu.evaluation import experiment
+
+    rng = np.random.RandomState(5)
+    specs, models, stream_frames = [], [], []
+    for k, (name, n_frames) in enumerate([('short', 2), ('long', 5)]):
+        model, variables = _tiny_vars(seed=k)
+        models.append((model, variables))
+        ckpt_dir = tmp_path / 'models'
+        checkpoint.save(str(ckpt_dir), f'tiny_{name}', variables,
+                        model.arch.to_json())
+        video = str(tmp_path / f'{name}.avi')
+        vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8,
+                             (48, 32))
+        for _ in range(n_frames):
+            vw.write(rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8))
+        vw.release()
+        # re-decode for the parity check (MJPG is lossy)
+        cap = cv2.VideoCapture(video)
+        decoded = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            decoded.append(f)
+        cap.release()
+        assert len(decoded) == n_frames
+        stream_frames.append(decoded)
+        specs += ['--stream', f'{video}={ckpt_dir / f"tiny_{name}.npz"}']
+
+    from fosvos_tpu.cli import fleet as fleet_cli
+    out = tmp_path / 'out'
+    fleet_cli.main(specs + ['--output-dir', str(out), '--elastic'],
+                   standalone_mode=False)
+
+    for k, (name, n_frames) in enumerate([('short', 2), ('long', 5)]):
+        masks = sorted((out / name).glob('*.png'))
+        assert len(masks) == n_frames          # ran to its own EOF
+        model, variables = models[k]
+        engine = experiment.InferenceEngine(model, 1)
+        for i, mp in enumerate(masks):
+            got = cv2.imread(str(mp), cv2.IMREAD_GRAYSCALE)
+            want = engine.masks_for_sequence(
+                variables, np.asarray(stream_frames[k][i])[None])
+            np.testing.assert_array_equal(got, want[0])
+
+    with pytest.raises(Exception):             # --elastic + --loop rejected
+        fleet_cli.main(specs + ['--elastic', '--loop'],
+                       standalone_mode=False)
