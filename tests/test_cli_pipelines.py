@@ -473,3 +473,38 @@ def test_fleet_cli_elastic_mixed_lengths(tmp_path):
     with pytest.raises(Exception):             # --elastic + --loop rejected
         fleet_cli.main(specs + ['--elastic', '--loop'],
                        standalone_mode=False)
+
+
+def test_fleet_cli_elastic_mesh_capacity_rounding(tmp_path):
+    """--elastic --mesh: 2 streams round their capacity up to the 8-device
+    'seq' axis; masks still match the single-model engine."""
+    import cv2
+    from fosvos_tpu.evaluation import experiment
+
+    model, variables = _tiny_vars(seed=9)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'tiny', variables, model.arch.to_json())
+    rng = np.random.RandomState(7)
+    specs = []
+    for name in ('a', 'b'):
+        video = str(tmp_path / f'{name}.avi')
+        vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8,
+                             (48, 32))
+        vw.write(rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8))
+        vw.release()
+        specs += ['--stream', f'{video}={ckpt_dir / "tiny.npz"}']
+
+    from fosvos_tpu.cli import fleet as fleet_cli
+    out = tmp_path / 'out'
+    fleet_cli.main(specs + ['--output-dir', str(out), '--elastic',
+                            '--mesh'], standalone_mode=False)
+    engine = experiment.InferenceEngine(model, 1)
+    for name in ('a', 'b'):
+        masks = sorted((out / name).glob('*.png'))
+        assert len(masks) == 1
+        cap = cv2.VideoCapture(str(tmp_path / f'{name}.avi'))
+        ok, frame = cap.read()
+        cap.release()
+        got = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
+        want = engine.masks_for_sequence(variables, frame[None])
+        np.testing.assert_array_equal(got, want[0])
