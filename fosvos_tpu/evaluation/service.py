@@ -1,0 +1,134 @@
+"""One-shot VOS as a service: join -> adapt -> serve, one object.
+
+The reference's production story is three manual steps per video: run
+``train_online.py`` to adapt the parent to the first annotated frame
+(``/root/reference/src/train_online.py:23-50``), pick up the checkpoint,
+then serve it in its own ``run_webcam.py`` process. :class:`VOSService`
+collapses that into the server itself:
+
+* :meth:`join` takes a stream's first frame + first mask, runs the
+  compiled one-shot adaptation (``train/online.OnlineFinetuner`` — the
+  batched accumulation-window scan, seconds for the full 10k-step
+  reference budget on-chip), and installs the adapted weights into an
+  :class:`evaluation.elastic.ElasticFleet` slot — the stream starts being
+  served on the next :meth:`segment` call, no recompiles;
+* :meth:`segment` serves every live stream in one fleet dispatch;
+* :meth:`leave` frees the slot; :meth:`readapt` re-runs adaptation for a
+  live stream (e.g. on a drift-corrected annotation) and hot-swaps its
+  weights in place.
+
+The adaptation budget, optimizer preset (default: reference production
+variant 11), augmentation, and serving precision (bf16/int8) are all
+knobs; the adapter's compiled programs are shared across joins (same
+shapes -> one compile for the life of the service).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
+from fosvos_tpu.evaluation.elastic import ElasticFleet
+from fosvos_tpu.train import online, optimizers
+
+
+class VOSService:
+    """Adapt-and-serve server for one-shot video object segmentation.
+
+    Args:
+      model: the parent topology (every stream adapts/serves this model).
+      parent_variables: offline-trained parent weights that each join
+        adapts from (the reference's ``resnet18_11_epoch-239`` role).
+      capacity: maximum concurrent streams (``ElasticFleet`` slot count).
+      preset: optimizer preset for adaptation (default: online variant 11,
+        the reference's production setting).
+      n_epochs: default adaptation step budget per join (reference: 10000,
+        ``train_online.py:147``).
+      avg_grad_every_n: gradient-accumulation window (reference: 5).
+      augment: adapt over the flip + multi-scale schedule (reference
+        train loader semantics).
+      bf16 / int8 / mesh: serving precision/sharding, forwarded to
+        :class:`ElasticFleet`. int8 streams self-calibrate on their first
+        frame at join time.
+      adapt_mesh: optional mesh to shard each adaptation itself (latency;
+        see ``OnlineFinetuner``).
+      mean: BGR channel mean (uint8 frames are mean-subtracted on device
+        for serving and on host for the adaptation pair).
+    """
+
+    def __init__(self, model, parent_variables, capacity: int,
+                 preset: Optional[optimizers.Preset] = None,
+                 n_epochs: int = 10000, avg_grad_every_n: int = 5,
+                 augment: bool = True, bf16: bool = False,
+                 int8: bool = False, mesh=None, adapt_mesh=None,
+                 mean=DAVIS_MEAN_BGR):
+        self.model = model
+        self.parent_variables = parent_variables
+        self.n_epochs = n_epochs
+        self.augment = augment
+        self.mean = tuple(mean)
+        self._int8 = int8
+        self._fleet = ElasticFleet(model, capacity, bf16=bf16, int8=int8,
+                                   mesh=mesh, mean=mean)
+        self._tuner = online.OnlineFinetuner(
+            model, preset or optimizers.online_variant(11),
+            avg_grad_every_n=avg_grad_every_n, mesh=adapt_mesh)
+
+    @property
+    def active_slots(self) -> Tuple[int, ...]:
+        """Slot ids in serving order (``segment`` frame/mask order)."""
+        return self._fleet.active_slots
+
+    def _adapt(self, frame: np.ndarray, mask: np.ndarray,
+               n_epochs: Optional[int], seed: int):
+        frame = np.asarray(frame)
+        if frame.dtype == np.uint8:  # device_preprocess contract, on host
+            frame = frame.astype(np.float32) - np.asarray(self.mean,
+                                                          np.float32)
+        mask = np.asarray(mask, np.float32)
+        if mask.max() > 0:           # 0/255 uint8 or {0,1} -> [0,1]
+            mask = mask / mask.max()
+        res = self._tuner.finetune(
+            self.parent_variables, frame, mask,
+            n_epochs=self.n_epochs if n_epochs is None else n_epochs,
+            augment=self.augment, seed=seed)
+        return ({'params': res.state.params,
+                 'batch_stats': res.state.batch_stats}, res)
+
+    def join(self, first_frame: np.ndarray, first_mask: np.ndarray,
+             n_epochs: Optional[int] = None, seed: int = 0
+             ) -> Tuple[int, online.OnlineResult]:
+        """Adapt the parent to (first_frame, first_mask) and start serving.
+
+        Args:
+          first_frame: (H, W, 3) uint8 BGR (or mean-subtracted float32).
+          first_mask: (H, W) object mask (bool / 0-255 uint8 / [0,1]).
+        Returns (slot id, adaptation result — losses + wall time).
+        """
+        variables, res = self._adapt(first_frame, first_mask, n_epochs,
+                                     seed)
+        slot = self._fleet.add(
+            variables,
+            calib_frame=np.asarray(first_frame) if self._int8 else None)
+        return slot, res
+
+    def readapt(self, slot: int, frame: np.ndarray, mask: np.ndarray,
+                n_epochs: Optional[int] = None, seed: int = 0
+                ) -> online.OnlineResult:
+        """Re-adapt a live stream (fresh from the parent, like the
+        reference's per-sequence protocol) and hot-swap its weights."""
+        variables, res = self._adapt(frame, mask, n_epochs, seed)
+        self._fleet.swap_weights(
+            slot, variables,
+            calib_frame=np.asarray(frame) if self._int8 else None)
+        return res
+
+    def leave(self, slot: int) -> None:
+        """Stop serving a stream; its slot is recycled."""
+        self._fleet.remove(slot)
+
+    def segment(self, frames: np.ndarray) -> np.ndarray:
+        """(n_active, H, W, 3) uint8 frames (order = :attr:`active_slots`)
+        -> (n_active, H, W) uint8 sigmoid maps, one fleet dispatch."""
+        return self._fleet.segment(frames)

@@ -423,3 +423,47 @@ def test_elastic_fleet_int8_parity(db):
     engine.calibrate(var_list[2], imgs[0:1])
     want = engine.masks_for_sequence(var_list[2], imgs[0:1])
     np.testing.assert_array_equal(m[0], want[0])
+
+
+def test_vos_service_join_adapt_serve(db):
+    """VOSService: join runs the one-shot adaptation from the parent and
+    serves the stream; the served mask equals a manual finetune (same
+    seed/budget) -> InferenceEngine chain exactly. leave/readapt churn."""
+    from fosvos_tpu.evaluation import service
+    from fosvos_tpu.train import online, optimizers
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img0, gt0 = tr.make_img_gt_pair(0)           # mean-subtracted + [0,1]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)    # uint8 BGR
+
+    svc = service.VOSService(model, parent, capacity=2, n_epochs=4,
+                             avg_grad_every_n=2, mean=ds.meanval)
+    slot, res = svc.join(frames[0], (gt0 * 255).astype(np.uint8), seed=0)
+    assert res.n_steps == 4 and np.isfinite(res.losses).all()
+    got = svc.segment(frames[:1])
+
+    # manual chain with identical inputs/seed must match bit-for-bit
+    tuner = online.OnlineFinetuner(model, optimizers.online_variant(11),
+                                   avg_grad_every_n=2)
+    r2 = tuner.finetune(parent, img0, gt0, n_epochs=4, seed=0)
+    engine = experiment.InferenceEngine(model, 1, mean=ds.meanval)
+    want = engine.masks_for_sequence(
+        {'params': r2.state.params, 'batch_stats': r2.state.batch_stats},
+        frames[:1])
+    np.testing.assert_array_equal(got[0], want[0])
+
+    # a second stream joins with a different budget; first one leaves
+    slot2, _ = svc.join(frames[1], (gt0 * 255).astype(np.uint8),
+                        n_epochs=2, seed=1)
+    assert svc.active_slots == (slot, slot2)
+    svc.leave(slot)
+    out = svc.segment(frames[1:2])
+    assert out.shape == (1, 32, 48)
+    # readapt hot-swaps in place (smoke: serving still works, slot kept)
+    svc.readapt(slot2, frames[1], gt0, n_epochs=2, seed=2)
+    assert svc.active_slots == (slot2,)
+    assert svc.segment(frames[1:2]).shape == (1, 32, 48)
