@@ -467,3 +467,25 @@ def test_vos_service_join_adapt_serve(db):
     svc.readapt(slot2, frames[1], gt0, n_epochs=2, seed=2)
     assert svc.active_slots == (slot2,)
     assert svc.segment(frames[1:2]).shape == (1, 32, 48)
+
+
+def test_vos_service_vgg_no_batch_stats(db):
+    """VOSService on OSVOS-VGG: the no-BN path (empty batch_stats
+    collection) must adapt and serve cleanly."""
+    from fosvos_tpu.evaluation import service
+    from fosvos_tpu.models import OSVOSVGG
+
+    model = OSVOSVGG()
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    _, gt0 = tr.make_img_gt_pair(0)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+
+    svc = service.VOSService(model, parent, capacity=1, n_epochs=2,
+                             avg_grad_every_n=2, mean=ds.meanval)
+    _, res = svc.join(frames[0], gt0, seed=0)
+    assert res.n_steps == 2 and np.isfinite(res.losses).all()
+    out = svc.segment(frames[:1])
+    assert out.shape == (1, 32, 48) and out.dtype == np.uint8
