@@ -508,3 +508,30 @@ def test_fleet_cli_elastic_mesh_capacity_rounding(tmp_path):
         got = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
         want = engine.masks_for_sequence(variables, frame[None])
         np.testing.assert_array_equal(got, want[0])
+
+
+def test_fleet_cli_elastic_int8(tmp_path):
+    """--elastic --int8: the joining stream calibrates on its first frame
+    and serves PTQ masks to its own EOF."""
+    import cv2
+
+    model, variables = _tiny_vars(seed=3)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'tiny', variables, model.arch.to_json())
+    video = str(tmp_path / 'v.avi')
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 8,
+                         (48, 32))
+    rng = np.random.RandomState(11)
+    for _ in range(3):
+        vw.write(rng.randint(0, 255, size=(32, 48, 3), dtype=np.uint8))
+    vw.release()
+
+    from fosvos_tpu.cli import fleet as fleet_cli
+    out = tmp_path / 'out'
+    fleet_cli.main(['--stream', f'{video}={ckpt_dir / "tiny.npz"}',
+                    '--output-dir', str(out), '--elastic', '--int8'],
+                   standalone_mode=False)
+    masks = sorted((out / 'v').glob('*.png'))
+    assert len(masks) == 3
+    m0 = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
+    assert m0.shape == (32, 48)
