@@ -105,6 +105,15 @@ def parse_args(is_online: bool, argv=None) -> argparse.Namespace:
                              'already exists (crash-safe work queue; replaces '
                              "the reference's hand-edited already_done list, "
                              'train_online.py:179-182)')
+        parser.add_argument('--qat-int8', action='store_true',
+                            help='quantization-aware adaptation: run the '
+                             'one-shot fine-tune through the int8 serving '
+                             'numerics (fake-quant forward, straight-through '
+                             'gradients — compress/qat.py) and serve the '
+                             'adapted model int8 with the training-time '
+                             'scales. Implies --int8 for the test phase. '
+                             'Scales are calibrated once on the first '
+                             "sequence's frame so the sweep compiles once")
     args = parser.parse_args(argv)
     args.is_training = not args.no_training
     args.is_testing = not args.no_testing

@@ -97,6 +97,13 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
             save_dir = (Path(save_dir_results) / net_provider.name
                         / str(settings.variant_offline)
                         / str(settings.variant_online))
+        if (engine is not None and engine.int8 and tuner is not None
+                and getattr(tuner, 'qat_act_scale', None) is not None):
+            # serve with the exact scales the QAT adaptation trained through
+            from fosvos_tpu.compress import qat
+            engine.set_qparams(
+                net_provider.variables,
+                qat.finalize(net_provider.variables, tuner.qat_act_scale))
         out = experiment.test(net_provider.model, net_provider.variables, db,
                               str(save_dir), seq_name=seq_name,
                               eval_speeds=settings.eval_speeds,
@@ -240,6 +247,14 @@ def main(argv=None):
         sequences = remaining
 
     import jax
+    qat_int8 = getattr(args, 'qat_int8', False)
+    if qat_int8 and not getattr(args, 'int8', False):
+        log.info('--qat-int8 implies --int8 for the test phase')
+        args.int8 = True
+    if qat_int8 and getattr(args, 'fanout', False):
+        log.info('--qat-int8 runs the sequential regime (fan-out is not '
+                 'wired through the fake-quant forward)')
+        args.fanout = False
     if select_regime(len(sequences), len(jax.devices()),
                      getattr(args, 'fanout', False),
                      settings.is_training) == 'fanout':
@@ -256,10 +271,29 @@ def main(argv=None):
     for seq in sequences:
         if tuner is None and settings.is_training:
             net_provider.load_network_train()
+            amodel = adaptation_model(net_provider, settings)
+            apply_fn = None
+            qat_scales = None
+            if qat_int8:
+                from fosvos_tpu.compress import qat
+                db0 = DAVIS2016(mode='train', db_root_dir=str(db_root_dir),
+                                seq_name=seq)
+                img0, _ = db0.make_img_gt_pair(0)
+                # one calibration for the whole sweep (per-sequence scales
+                # would recompile the adaptation scan each sequence); the
+                # margin leaves headroom for later sequences' activations
+                qat_scales = qat.calibrate_scales(
+                    net_provider.model, net_provider.variables, [img0[None]],
+                    margin=1.25)
+                apply_fn = qat.make_apply(amodel, qat_scales)
+                log.info('QAT: calibrated %d conv input scales on %s',
+                         len(qat_scales), seq)
             tuner = online.OnlineFinetuner(
-                adaptation_model(net_provider, settings),
+                amodel,
                 net_provider.get_preset(), settings.avg_grad_every_n,
-                window_batch=not getattr(args, 'sequential_windows', False))
+                window_batch=not getattr(args, 'sequential_windows', False),
+                apply_fn=apply_fn)
+            tuner.qat_act_scale = qat_scales
         if engine is None:
             if net_provider.model is None:
                 net_provider.load_network_train()

@@ -1,3 +1,3 @@
-from fosvos_tpu.compress import mimic, prune
+from fosvos_tpu.compress import mimic, prune, qat, quantize
 
-__all__ = ['mimic', 'prune']
+__all__ = ['mimic', 'prune', 'qat', 'quantize']

@@ -212,6 +212,20 @@ class InferenceEngine:
         self._qtree = tree
         self._calibrated_weights = self._weights_key(variables)
 
+    def set_qparams(self, variables, qparams) -> None:
+        """Install pre-built quantized state for ``variables`` instead of
+        self-calibrating — e.g. ``compress.qat.finalize``'s output, so
+        serving uses the exact scales the QAT adaptation trained through.
+        Pinned until the served weights change identity (then the engine
+        falls back to self-calibration unless called again)."""
+        if not self.int8:
+            raise ValueError('engine was not built with int8=True')
+        tree = qparams.tree() if hasattr(qparams, 'tree') else dict(qparams)
+        if self._replicated is not None:
+            tree = jax.device_put(tree, self._replicated)
+        self._qtree = tree
+        self._calibrated_weights = self._weights_key(variables)
+
     def _forward_masks(self, variables, images):
         if self.int8:
             # re-quantize when the weights change (a shared engine serves a

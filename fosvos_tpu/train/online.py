@@ -82,7 +82,8 @@ class OnlineResult:
 
 
 def window_step_fns(model, optimizer, n_acc: int,
-                    bn_momentum: Optional[float] = None):
+                    bn_momentum: Optional[float] = None,
+                    apply_fn=None):
     """Build the batched-accumulation-window step (and its trailing-partial
     variant) shared by :class:`OnlineFinetuner` and the sequence fan-out.
 
@@ -105,14 +106,19 @@ def window_step_fns(model, optimizer, n_acc: int,
     ``bn_momentum`` must match the model's BatchNorm momentum (the EMA
     replay divides by it); defaults to the zoo-wide
     :data:`fosvos_tpu.models.common.BN_MOMENTUM`.
+
+    ``apply_fn``: optional ``model.apply`` drop-in (same signature) — e.g.
+    the fake-quantized forward from ``compress.qat.make_apply`` so the
+    adaptation trains through the int8 serving numerics.
     """
     if bn_momentum is None:
         from fosvos_tpu.models.common import BN_MOMENTUM
         bn_momentum = BN_MOMENTUM
+    apply = apply_fn if apply_fn is not None else model.apply
 
     def window_loss(pp, batch_stats, x2, g2, wts):
         def single(x1, g1):
-            outs, mut = model.apply(
+            outs, mut = apply(
                 {'params': pp, 'batch_stats': batch_stats}, x1,
                 train=True, mutable=['batch_stats'])
             return online_loss(outs, g1), mut['batch_stats']
@@ -177,8 +183,14 @@ class OnlineFinetuner:
                  avg_grad_every_n: int = 5,
                  example_params: Optional[Any] = None,
                  window_batch: bool = True,
-                 mesh=None):
-        """``mesh``: optional ``jax.sharding.Mesh`` to cut ONE sequence's
+                 mesh=None,
+                 apply_fn=None):
+        """``apply_fn``: optional ``model.apply`` drop-in the train steps
+        call instead (e.g. ``compress.qat.make_apply`` — adapt through the
+        int8 serving numerics). Must accept
+        ``(variables, x, train=, mutable=)``.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` to cut ONE sequence's
         adaptation latency across chips (the fan-out scales *throughput*
         over sequences; this shards a single adaptation): the window's
         {orig, flipped} pair over a ``data`` axis and/or the frame height
@@ -190,6 +202,7 @@ class OnlineFinetuner:
         self.avg_grad_every_n = avg_grad_every_n
         self.window_batch = window_batch and avg_grad_every_n > 1
         self.mesh = mesh
+        self.apply_fn = apply_fn
         if mesh is not None and not self.window_batch:
             raise ValueError('mesh sharding requires window_batch mode')
         if mesh is not None and 'data' in mesh.axis_names \
@@ -207,6 +220,7 @@ class OnlineFinetuner:
         optimizer = optax.MultiSteps(base_opt,
                                      every_k_schedule=self.avg_grad_every_n)
         model = self.model
+        apply = self.apply_fn if self.apply_fn is not None else model.apply
 
         def step(carry, images, gts):
             p, batch_stats, opt_state, key = carry
@@ -215,7 +229,7 @@ class OnlineFinetuner:
             imgs, g = transforms.device_flip(images, gts, flip)
 
             def loss_fn(pp):
-                outs, mut = model.apply(
+                outs, mut = apply(
                     {'params': pp, 'batch_stats': batch_stats}, imgs,
                     train=True, mutable=['batch_stats'])
                 return online_loss(outs, g), mut['batch_stats']
@@ -239,7 +253,8 @@ class OnlineFinetuner:
         """Batched-accumulation-window step (see :func:`window_step_fns`)."""
         optimizer = optimizers.make_optimizer(self.preset, params)
         window_step, partial_step = window_step_fns(
-            self.model, optimizer, self.avg_grad_every_n)
+            self.model, optimizer, self.avg_grad_every_n,
+            apply_fn=self.apply_fn)
 
         jit_kwargs = dict(static_argnums=(3,), donate_argnums=(0,))
         self._pair_sharding = None

@@ -1,0 +1,196 @@
+"""Quantization-aware training (compress/qat.py): the fake-quant forward
+matches the int8 serving numerics, gradients flow through the STE, and a
+QAT one-shot adaptation produces weights that serve well under int8.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fosvos_tpu.compress import qat, quantize
+from fosvos_tpu.data import davis, synthetic
+from fosvos_tpu.models import OSVOSResNet, resnet_arch
+from fosvos_tpu.train import online, optimizers
+from fosvos_tpu.train.losses import online_loss
+
+
+@pytest.fixture(scope='module')
+def db(tmp_path_factory):
+    return synthetic.generate(str(tmp_path_factory.mktemp('davis')),
+                              size=(32, 48))
+
+
+@pytest.fixture(scope='module')
+def tiny_resnet():
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=3))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def _frames(seed=0, n=2, h=32, w=48):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, h, w, 3) * 255).astype(np.float32) - 120.0
+
+
+def test_fake_quant_matches_int8_serving(tiny_resnet):
+    """Fake-quant (f32 quantize->dequantize) and the int8 engine compute the
+    same grid values; only the accumulation dtype differs (f32 vs exact
+    int32), so outputs must agree far tighter than int8-vs-float."""
+    model, variables = tiny_resnet
+    x = jnp.asarray(_frames(seed=1))
+    qp = quantize.build_qparams(model, variables, [_frames(seed=2)])
+
+    fq = qat.make_apply(model, qp.act_scale)(variables, x, train=False)
+    i8 = quantize.quantized_apply(model, variables, qp.tree(), x)
+    for a, b in zip(fq, i8):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-6) < 5e-3
+
+
+def test_ste_gradients_flow_to_all_quantized_kernels(tiny_resnet):
+    model, variables = tiny_resnet
+    x = jnp.asarray(_frames(seed=3, n=1))
+    qp = quantize.build_qparams(model, variables, [_frames(seed=2)])
+    apply_fn = qat.make_apply(model, qp.act_scale)
+
+    def loss(params):
+        outs = apply_fn({**variables, 'params': params}, x, train=False)
+        return sum(jnp.sum(jnp.square(o)) for o in outs)
+
+    grads = jax.grad(loss)(variables['params'])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for path, g in flat:
+        name = jax.tree_util.keystr(path)
+        assert np.isfinite(np.asarray(g)).all(), name
+        if 'kernel' in name and 'upscale' not in name:
+            assert np.abs(np.asarray(g)).max() > 0, name
+
+
+def test_fake_quant_helpers_grid_and_ste():
+    # value lands on the grid
+    s = jnp.asarray(0.1, jnp.float32)
+    x = jnp.asarray([0.0, 0.04, 0.06, 20.0, -20.0], jnp.float32)
+    q = qat.fake_quant_input(x, s)
+    np.testing.assert_allclose(
+        np.asarray(q), [0.0, 0.0, 0.1, 12.7, -12.7], atol=1e-6)
+    # straight-through: gradient is identity (also through the clip)
+    g = jax.grad(lambda v: jnp.sum(qat.fake_quant_input(v, s)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.ones(5), atol=1e-6)
+    # kernel grid is per-output-channel and hits +-127 at each channel max
+    k = jnp.asarray(np.random.RandomState(0).randn(3, 3, 4, 8),
+                    jnp.float32)
+    kq = qat.fake_quant_kernel(k)
+    s_c = np.abs(np.asarray(k)).max(axis=(0, 1, 2)) / 127.0
+    err = np.abs(np.asarray(kq) - np.asarray(k))
+    assert (err <= 0.5 * s_c[None, None, None, :] + 1e-7).all()
+
+
+def test_qat_adaptation_serves_int8(db, tiny_resnet):
+    """The production flow: float one-shot adaptation (the reference
+    workload), then a short QAT fine-tune through the fake-quant forward,
+    then commit to the int8 grid (qat.finalize) and serve with the real
+    int8 engine. Claims tested: (a) training keeps converging under
+    fake-quant, (b) int8 serving of QAT weights has no quality cliff vs
+    float eval of the same weights, (c) it beats PTQ of the pre-QAT
+    weights, (d) served masks match what the QAT forward trained toward."""
+    model, variables = tiny_resnet
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+    x = jnp.asarray(img[None])
+    g = jnp.asarray(gt[None, ..., None])
+
+    tuner = online.OnlineFinetuner(
+        model, optimizers.online_variant(10), avg_grad_every_n=5)
+    base = tuner.finetune(variables, img, gt, n_epochs=300, seed=0,
+                          augment=False)
+    fl = {'params': base.state.params, 'batch_stats': base.state.batch_stats}
+    ptq_served = float(online_loss(
+        quantize.quantized_apply(
+            model, fl, quantize.build_qparams(model, fl, [img[None]]).tree(),
+            x), g))
+
+    act_scale = qat.calibrate_scales(model, fl, [img[None]])
+    qtuner = online.OnlineFinetuner(
+        model, optimizers.online_variant(10), avg_grad_every_n=5,
+        apply_fn=qat.make_apply(model, act_scale))
+    res = qtuner.finetune(fl, img, gt, n_epochs=100, seed=1, augment=False)
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < base.losses[-1]          # (a)
+
+    adapted = {'params': res.state.params,
+               'batch_stats': res.state.batch_stats}
+    qp = qat.finalize(adapted, act_scale)
+    outs = quantize.quantized_apply(model, adapted, qp.tree(), x)
+    served = float(online_loss(outs, g))
+    float_eval = float(online_loss(model.apply(adapted, x, train=False), g))
+    assert served < max(2.0 * float_eval, float_eval + 0.05)   # (b)
+    assert served < ptq_served * 0.5                            # (c)
+    fq = qat.make_apply(model, act_scale)(adapted, x, train=False)
+    agree = np.mean(np.sign(np.asarray(outs[-1]))
+                    == np.sign(np.asarray(fq[-1])))
+    assert agree > 0.999                                        # (d)
+
+
+def test_qat_cli_end_to_end(db, tmp_path, monkeypatch):
+    """--qat-int8: adapts through the fake-quant forward, then the test
+    phase serves int8 with the training-time scales (engine.set_qparams),
+    not self-calibration."""
+    from pathlib import Path
+    from fosvos_tpu.cli import train_online as cli_mod
+    from fosvos_tpu.evaluation import experiment
+    from fosvos_tpu.models import resnet_arch as _arch
+    from fosvos_tpu.runtime import checkpoint
+    from fosvos_tpu.runtime.providers import ResNetOnlineProvider
+
+    monkeypatch.chdir(tmp_path)
+    orig_settings = cli_mod.OnlineSettings
+
+    def small_settings(**kw):
+        kw.update(n_epochs=12, snapshot_every_n=12)
+        return orig_settings(**kw)
+
+    monkeypatch.setattr(cli_mod, 'OnlineSettings', small_settings)
+
+    installed = []
+    orig_set = experiment.InferenceEngine.set_qparams
+
+    def spy(self, variables, qparams):
+        installed.append(set(qparams.act_scale))
+        return orig_set(self, variables, qparams)
+
+    monkeypatch.setattr(experiment.InferenceEngine, 'set_qparams', spy)
+
+    settings = small_settings(is_training=True, is_testing=True,
+                              variant_offline=11, variant_online=11)
+    seed = ResNetOnlineProvider('resnet18', 'models', settings,
+                                variant_offline=11, variant_online=11)
+    seed.init_network(_arch(18, scale_down_exponent=4))
+    seed.variables = jax.tree.map(jnp.asarray, seed.variables)
+    Path('models').mkdir(exist_ok=True)
+    seed.save_model(239)
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--variant-online', '11', '-s', 'synth-swan',
+                  '--db-root-dir', db, '--qat-int8'])
+
+    assert checkpoint.exists('models', 'resnet18_11_11_synth-swan_epoch-11')
+    masks = sorted(Path('results/resnet18/11/11/synth-swan').glob('*.png'))
+    assert len(masks) == 4
+    assert len(installed) == 1 and 'base_conv' in installed[0]
+
+
+def test_qat_sequential_mode_smoke(db, tiny_resnet):
+    """apply_fn threads through the sequential (non-window) scan too."""
+    model, variables = tiny_resnet
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-goat')
+    img, gt = ds.make_img_gt_pair(0)
+    act_scale = qat.calibrate_scales(model, variables, [img[None]])
+    tuner = online.OnlineFinetuner(
+        model, optimizers.online_variant(10), avg_grad_every_n=5,
+        window_batch=False, apply_fn=qat.make_apply(model, act_scale))
+    res = tuner.finetune(variables, img, gt, n_epochs=10, seed=0,
+                         augment=False)
+    assert res.losses.shape == (10,)
+    assert np.isfinite(res.losses).all()
