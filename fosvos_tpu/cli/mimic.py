@@ -127,6 +127,14 @@ def main(argv=None):
                              'distilling from random weights is never '
                              'intended)')
     parser.add_argument('--no-tensorboard', action='store_true')
+    parser.add_argument('--qat-int8', action='store_true',
+                        help='distill INTO the int8 serving numerics: the '
+                             'student forward runs fake-quantized '
+                             '(compress/qat.py; the teacher stays float) '
+                             'and the speed/mask eval serves the student '
+                             'int8 with the training-time scales. With '
+                             '--no-training, the reloaded student is '
+                             'PTQ-calibrated and served int8 instead')
     parser.add_argument('--device-resident', action='store_true',
                         help='offline mode: distill over the HBM-resident '
                              'train split (train/resident.py engine) — '
@@ -209,6 +217,24 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
 
     sub = seq_name or 'offline'
 
+    qat_scales = None
+    student_apply_fn = None
+
+    def calibrate_qat(vars_now):
+        # one calibration per run; margin leaves headroom for the student's
+        # activations drifting as distillation progresses
+        from fosvos_tpu.compress import qat
+        img0, _ = db_train.make_img_gt_pair(0)
+        scales = qat.calibrate_scales(student_model, vars_now,
+                                      [img0[None]], margin=1.5)
+        log.info('QAT: calibrated %d student conv scales', len(scales))
+        return scales
+
+    if getattr(args, 'qat_int8', False) and not args.no_training:
+        from fosvos_tpu.compress import qat
+        qat_scales = calibrate_qat(student_vars)
+        student_apply_fn = qat.make_apply(student_model, qat_scales)
+
     if not args.no_training:
         def snapshot(epoch, state):
             checkpoint.save(str(models_dir / sub), str(epoch),
@@ -234,7 +260,8 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
                     n_epochs=args.n_epochs, criterion=args.criterion,
                     learn_from=args.learn_from,
                     learning_rate=args.learning_rate,
-                    snapshot_fn=snapshot, summary_writer=writer)
+                    snapshot_fn=snapshot, summary_writer=writer,
+                    student_apply_fn=student_apply_fn)
             else:
                 res = mimic_lib.train_mimic(
                     student_model, student_vars, teacher_model, teacher_vars,
@@ -242,7 +269,8 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
                     n_epochs=args.n_epochs, criterion=args.criterion,
                     learn_from=args.learn_from,
                     learning_rate=args.learning_rate,
-                    snapshot_fn=snapshot, summary_writer=writer)
+                    snapshot_fn=snapshot, summary_writer=writer,
+                    student_apply_fn=student_apply_fn)
         finally:
             writer.close()  # flush partial-run scalars on mid-sweep crash
         student_vars = {'params': res.state.params,
@@ -261,13 +289,24 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
             log.warning('--no-training but no checkpoint at %s/%s: '
                         'evaluating a fresh-init student.',
                         models_dir / sub, stem)
+        if getattr(args, 'qat_int8', False):
+            # calibrate on the weights actually being served
+            qat_scales = calibrate_qat(student_vars)
 
     # speed then masks, reference mimic.py:135-141
     out_dir = str(results_dir / sub)
+    engine = None
+    if qat_scales is not None:
+        from fosvos_tpu.compress import qat
+        engine = experiment.InferenceEngine(student_model, 4,
+                                            mean=db_val.meanval, int8=True)
+        engine.set_qparams(student_vars,
+                           qat.finalize(student_vars, qat_scales))
     speed = experiment.test(student_model, student_vars, db_val, out_dir,
-                            seq_name=seq_name, eval_speeds=True)
+                            seq_name=seq_name, eval_speeds=True,
+                            engine=engine)
     experiment.test(student_model, student_vars, db_val, out_dir,
-                    seq_name=seq_name)
+                    seq_name=seq_name, engine=engine)
     for k, v in speed.items():
         if hasattr(v, 'fps'):
             log.info('mimic sde=%d %s: %.1f fps', sde, k, v.fps)

@@ -49,12 +49,17 @@ class MimicTrainer:
 
     def __init__(self, student_model, teacher_model=None,
                  criterion: str = 'CBCEL', learn_from: str = 'teacher',
-                 learning_rate: float = 1e-3, avg_grad_every_n: int = 5):
+                 learning_rate: float = 1e-3, avg_grad_every_n: int = 5,
+                 student_apply_fn=None):
+        """``student_apply_fn``: optional ``student_model.apply`` drop-in
+        for the student's forward (e.g. ``compress.qat.make_apply`` —
+        distill INTO the int8 serving numerics); the teacher stays float."""
         if learn_from not in ('teacher', 'ground_truth'):
             raise ValueError(learn_from)
         if learn_from == 'teacher' and teacher_model is None:
             raise ValueError('teacher_model required for learn_from=teacher')
         self.student_model = student_model
+        self.student_apply_fn = student_apply_fn
         self.teacher_model = teacher_model
         self.learn_from = learn_from
         self.criterion = criterion
@@ -90,13 +95,16 @@ class MimicTrainer:
         # resident engine (same signature: state, teacher_vars, batch, frac)
         train_step = jax.jit(_mimic_step_fn(
             self.student_model, self.teacher_model, optimizer,
-            self.criterion, self.learn_from))
+            self.criterion, self.learn_from,
+            student_apply_fn=self.student_apply_fn))
+        sapply = (self.student_apply_fn if self.student_apply_fn is not None
+                  else student.apply)
 
         @jax.jit
         def eval_step(state: TrainState, teacher_variables, images, gts,
                       epoch_frac):
             ts = targets(teacher_variables, images, gts)
-            outs = student.apply(
+            outs = sapply(
                 {'params': state.params, 'batch_stats': state.batch_stats},
                 images, train=False)
             losses = [crit(o, t) for o, t in zip(outs, ts)]
@@ -125,10 +133,14 @@ class MimicResult:
 
 
 def _mimic_step_fn(student_model, teacher_model, optimizer, criterion: str,
-                   learn_from: str):
+                   learn_from: str, student_apply_fn=None):
     """The distillation train step as a ChunkEngine step function
-    (ctx = teacher variables; aux = scalar loss)."""
+    (ctx = teacher variables; aux = scalar loss).
+
+    ``student_apply_fn``: optional student forward override (QAT)."""
     crit = _criterion_fn(criterion)
+    sapply = (student_apply_fn if student_apply_fn is not None
+              else student_model.apply)
 
     def step(state: TrainState, teacher_variables, imgs, gts, epoch_frac):
         if learn_from == 'teacher':
@@ -140,7 +152,7 @@ def _mimic_step_fn(student_model, teacher_model, optimizer, criterion: str,
             ts = [gts] * 5
 
         def loss_fn(p):
-            outs, mut = student_model.apply(
+            outs, mut = sapply(
                 {'params': p, 'batch_stats': state.batch_stats}, imgs,
                 train=True, mutable=['batch_stats'])
             losses = [crit(o, t) for o, t in zip(outs, ts)]
@@ -169,7 +181,8 @@ def train_mimic_resident(student_model, student_variables,
                          validate_every_n: int = 10,
                          snapshot_every_n: int = 50,
                          snapshot_fn=None, summary_writer=None,
-                         seed: int = 0, chunk_steps: int = 50
+                         seed: int = 0, chunk_steps: int = 50,
+                         student_apply_fn=None
                          ) -> MimicResult:
     """:func:`train_mimic` with the train split resident in HBM
     (``train/resident.py`` engine): teacher+student steps run as compiled
@@ -183,7 +196,8 @@ def train_mimic_resident(student_model, student_variables,
     # (adam lr/wd, reference mimic.py:74,231); duplicating it here would let
     # the two sweeps silently diverge
     trainer = MimicTrainer(student_model, teacher_model, criterion,
-                           learn_from, learning_rate, avg_grad_every_n)
+                           learn_from, learning_rate, avg_grad_every_n,
+                           student_apply_fn=student_apply_fn)
     base = optimizers.make_optimizer(trainer.preset,
                                      student_variables['params'])
     optimizer = optax.MultiSteps(base, every_k_schedule=avg_grad_every_n)
@@ -191,7 +205,7 @@ def train_mimic_resident(student_model, student_variables,
 
     engine = resident.ChunkEngine(
         _mimic_step_fn(student_model, teacher_model, optimizer, criterion,
-                       learn_from),
+                       learn_from, student_apply_fn=student_apply_fn),
         meanval=dataset.meanval)
     d_imgs, d_gts = resident.upload(dataset)
     rng = np.random.RandomState(seed)
@@ -253,7 +267,8 @@ def train_mimic(student_model, student_variables,
                 validate_every_n: int = 10,
                 snapshot_every_n: int = 50,
                 snapshot_fn: Optional[Callable[[int, TrainState], None]] = None,
-                summary_writer=None
+                summary_writer=None,
+                student_apply_fn=None
                 ) -> MimicResult:
     """Reference mimic loop (mimic.py:91-109): train epochs with annealed
     deep supervision, validate every 10, snapshot every 50.
@@ -266,7 +281,8 @@ def train_mimic(student_model, student_variables,
     per-step scalars are emitted from the host array — no per-step D2H
     round trips behind a high-latency link."""
     trainer = MimicTrainer(student_model, teacher_model, criterion,
-                           learn_from, learning_rate)
+                           learn_from, learning_rate,
+                           student_apply_fn=student_apply_fn)
     state = trainer.init_state(student_variables)
     every_n = trainer.avg_grad_every_n
 

@@ -181,6 +181,92 @@ def test_qat_cli_end_to_end(db, tmp_path, monkeypatch):
     assert len(installed) == 1 and 'base_conv' in installed[0]
 
 
+def test_mimic_distills_through_fake_quant(db, tiny_resnet):
+    """compress.mimic with student_apply_fn: the student learns its target
+    through the fake-quant forward and serves int8 consistently. Target =
+    ground truth (a random-init teacher's outputs are ~0, so MSE-to-teacher
+    starts at ~0 and can't show learning)."""
+    from fosvos_tpu.compress import mimic
+
+    student_model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    student_vars = student_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 48, 3), jnp.float32),
+        train=False)
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    img, gt = ds.make_img_gt_pair(0)
+    frames = img[None].astype(np.float32)
+    gts = gt[None, ..., None].astype(np.float32)
+    act_scale = qat.calibrate_scales(student_model, student_vars, [frames])
+    trainer = mimic.MimicTrainer(
+        student_model, None, criterion='CBCEL', learn_from='ground_truth',
+        student_apply_fn=qat.make_apply(student_model, act_scale))
+    state = trainer.init_state(student_vars)
+    losses = []
+    for k in range(300):
+        state, loss = trainer.train_step(state, None, frames, gts, 0.5)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # distillation-from-scratch through fake-quant converges ~2x slower
+    # than float (measured 0.888x vs 0.40x of the initial loss at step 300);
+    # assert steady progress, not float-speed convergence
+    assert losses[-1] < losses[0] * 0.93
+    # eval step sees the same (fake-quant) numerics as the int8 engine
+    adapted = {'params': state.params, 'batch_stats': state.batch_stats}
+    qp = qat.finalize(adapted, act_scale)
+    i8 = quantize.quantized_apply(student_model, adapted, qp.tree(),
+                                  jnp.asarray(frames))
+    fq = qat.make_apply(student_model, act_scale)(
+        adapted, jnp.asarray(frames), train=False)
+    for a, b in zip(fq, i8):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-6) < 5e-3
+
+
+def test_mimic_cli_qat_int8(db, tmp_path, monkeypatch):
+    """--qat-int8 on the mimic CLI: trains through fake-quant and serves
+    the eval int8 via set_qparams."""
+    from pathlib import Path
+    from fosvos_tpu.cli import mimic as cli_mod
+    from fosvos_tpu.evaluation import experiment
+    from fosvos_tpu.models import arch as arch_mod
+    from fosvos_tpu.runtime import checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    teacher_model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    teacher_vars = teacher_model.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 32, 48, 3), jnp.float32),
+        train=False)
+    checkpoint.save('teacher', 't', jax.device_get(teacher_vars),
+                    teacher_model.arch.to_json())
+
+    real_arch = arch_mod.resnet_arch
+    monkeypatch.setattr(
+        cli_mod, 'resnet_arch',
+        lambda version=18, scale_down_exponent=0:
+        real_arch(18, scale_down_exponent=max(scale_down_exponent, 4)))
+
+    installed = []
+    orig_set = experiment.InferenceEngine.set_qparams
+
+    def spy(self, variables, qparams):
+        installed.append(set(qparams.act_scale))
+        return orig_set(self, variables, qparams)
+
+    monkeypatch.setattr(experiment.InferenceEngine, 'set_qparams', spy)
+
+    cli_mod.main(['-s', 'synth-swan', '--db-root-dir', db,
+                  '--n-epochs', '2', '--scale-down-exponents', '5',
+                  '--criterion', 'MSE', '--teacher-path', 'teacher/t.npz',
+                  '--qat-int8'])
+
+    base = ('results/resnet18/11/mimic/lr=1.0e-03,criterion=MSE,'
+            'criterion_from=all,learn_from=teacher/online/5/'
+            'synth-swan/synth-swan')
+    masks = list(Path(base).glob('*.png'))
+    assert len(masks) == 4
+    assert len(installed) == 1 and 'base_conv' in installed[0]
+
+
 def test_qat_sequential_mode_smoke(db, tiny_resnet):
     """apply_fn threads through the sequential (non-window) scan too."""
     model, variables = tiny_resnet
