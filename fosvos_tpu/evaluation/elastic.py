@@ -115,18 +115,22 @@ class ElasticFleet:
         masks align with this tuple."""
         return tuple(self._active)
 
-    def add(self, variables, calib_frame: Optional[np.ndarray] = None
-            ) -> int:
+    def add(self, variables, calib_frame: Optional[np.ndarray] = None,
+            qparams=None) -> int:
         """Register a stream; returns its slot id.
 
         Uploads only this stream's weights (one-slot scatter into the
-        resident tree). With ``int8=True`` a ``calib_frame`` (H, W, 3)
-        is required: the stream's activation scales are calibrated against
-        its own weights before it ever serves.
+        resident tree). With ``int8=True`` either a ``calib_frame``
+        (H, W, 3) is required — the stream's activation scales are
+        calibrated against its own weights before it ever serves — or
+        pre-built ``qparams`` (``compress.quantize.QuantizedParams``, e.g.
+        from ``compress.qat.finalize`` so serving uses the scales the QAT
+        adaptation trained through).
         """
-        if self._int8 and calib_frame is None:
+        if self._int8 and calib_frame is None and qparams is None:
             raise ValueError('int8 elastic fleet: add(..., calib_frame=) '
-                             'is required to calibrate the joining stream')
+                             'or add(..., qparams=) is required for a '
+                             'joining stream')
         if self._slots is None:
             # first stream: allocate the capacity tree by broadcasting it
             self._slots = self._server.put_weights(
@@ -143,7 +147,7 @@ class ElasticFleet:
                                                       variables))
             self._active.append(k)
         if self._int8:
-            self._calibrate_slot(k, variables, calib_frame)
+            self._install_qslot(k, variables, calib_frame, qparams)
         return k
 
     def remove(self, slot: int) -> None:
@@ -153,27 +157,35 @@ class ElasticFleet:
         self._free.insert(0, slot)  # freed slots are recycled first
 
     def swap_weights(self, slot: int, variables,
-                     calib_frame: Optional[np.ndarray] = None) -> None:
+                     calib_frame: Optional[np.ndarray] = None,
+                     qparams=None) -> None:
         """Replace one active stream's weights in place (e.g. after a
         re-adaptation pass) — same one-slot upload as :meth:`add`."""
         if slot not in self._active:
             raise ValueError(f'slot {slot} is not active')
-        if self._int8 and calib_frame is None:
+        if self._int8 and calib_frame is None and qparams is None:
             raise ValueError('int8 elastic fleet: swap_weights needs a '
-                             'calib_frame to re-calibrate the stream')
+                             'calib_frame (re-calibrate) or qparams '
+                             '(pre-built scales) for the stream')
         self._slots = self._set_slot(self._slots, slot,
                                      jax.tree.map(jnp.asarray, variables))
         if self._int8:
-            self._calibrate_slot(slot, variables, calib_frame)
+            self._install_qslot(slot, variables, calib_frame, qparams)
 
-    def _calibrate_slot(self, k: int, variables, calib_frame) -> None:
-        from fosvos_tpu.compress import quantize
-        from fosvos_tpu.evaluation.experiment import device_preprocess
-        qp = quantize.build_qparams(
-            self._server.model, variables,
-            [np.asarray(calib_frame)[None]],
-            preprocess=lambda x: device_preprocess(x, self._server.mean))
-        qtree = jax.tree.map(jnp.asarray, qp.tree())
+    def _install_qslot(self, k: int, variables, calib_frame,
+                       qparams=None) -> None:
+        if qparams is not None:
+            qtree = qparams.tree() if hasattr(qparams, 'tree') \
+                else dict(qparams)
+        else:
+            from fosvos_tpu.compress import quantize
+            from fosvos_tpu.evaluation.experiment import device_preprocess
+            qp = quantize.build_qparams(
+                self._server.model, variables,
+                [np.asarray(calib_frame)[None]],
+                preprocess=lambda x: device_preprocess(x, self._server.mean))
+            qtree = qp.tree()
+        qtree = jax.tree.map(jnp.asarray, qtree)
         if self._qslots is None:
             self._qslots = jax.tree.map(
                 lambda a: jnp.stack([a] * self.capacity), qtree)

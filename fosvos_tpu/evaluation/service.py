@@ -51,6 +51,11 @@ class VOSService:
       bf16 / int8 / mesh: serving precision/sharding, forwarded to
         :class:`ElasticFleet`. int8 streams self-calibrate on their first
         frame at join time.
+      qat_int8: quantization-aware joins — each adaptation runs through
+        the fake-quant forward (``compress/qat.py``) and the slot serves
+        int8 with the training-time scales (implies ``int8``). Scales are
+        calibrated once, on the first join's frame against the parent, so
+        the adaptation programs still compile once for the service's life.
       adapt_mesh: optional mesh to shard each adaptation itself (latency;
         see ``OnlineFinetuner``).
       mean: BGR channel mean (uint8 frames are mean-subtracted on device
@@ -62,18 +67,24 @@ class VOSService:
                  n_epochs: int = 10000, avg_grad_every_n: int = 5,
                  augment: bool = True, bf16: bool = False,
                  int8: bool = False, mesh=None, adapt_mesh=None,
-                 mean=DAVIS_MEAN_BGR):
+                 mean=DAVIS_MEAN_BGR, qat_int8: bool = False):
         self.model = model
         self.parent_variables = parent_variables
         self.n_epochs = n_epochs
         self.augment = augment
         self.mean = tuple(mean)
-        self._int8 = int8
-        self._fleet = ElasticFleet(model, capacity, bf16=bf16, int8=int8,
-                                   mesh=mesh, mean=mean)
-        self._tuner = online.OnlineFinetuner(
-            model, preset or optimizers.online_variant(11),
+        self._int8 = int8 or qat_int8
+        self._qat = qat_int8
+        self._qat_scales = None
+        self._fleet = ElasticFleet(model, capacity, bf16=bf16,
+                                   int8=self._int8, mesh=mesh, mean=mean)
+        self._tuner_kwargs = dict(
+            preset=preset or optimizers.online_variant(11),
             avg_grad_every_n=avg_grad_every_n, mesh=adapt_mesh)
+        # with QAT the tuner needs the (first-join-calibrated) scales, so
+        # it is built lazily in _adapt
+        self._tuner = None if qat_int8 else online.OnlineFinetuner(
+            model, **self._tuner_kwargs)
 
     @property
     def active_slots(self) -> Tuple[int, ...]:
@@ -89,12 +100,27 @@ class VOSService:
         mask = np.asarray(mask, np.float32)
         if mask.max() > 0:           # 0/255 uint8 or {0,1} -> [0,1]
             mask = mask / mask.max()
+        if self._tuner is None:      # first QAT join: calibrate + build
+            from fosvos_tpu.compress import qat
+            self._qat_scales = qat.calibrate_scales(
+                self.model, self.parent_variables, [frame[None]],
+                margin=1.25)
+            self._tuner = online.OnlineFinetuner(
+                self.model,
+                apply_fn=qat.make_apply(self.model, self._qat_scales),
+                **self._tuner_kwargs)
         res = self._tuner.finetune(
             self.parent_variables, frame, mask,
             n_epochs=self.n_epochs if n_epochs is None else n_epochs,
             augment=self.augment, seed=seed)
         return ({'params': res.state.params,
                  'batch_stats': res.state.batch_stats}, res)
+
+    def _slot_qparams(self, variables):
+        if not self._qat:
+            return None
+        from fosvos_tpu.compress import qat
+        return qat.finalize(variables, self._qat_scales)
 
     def join(self, first_frame: np.ndarray, first_mask: np.ndarray,
              n_epochs: Optional[int] = None, seed: int = 0
@@ -108,9 +134,11 @@ class VOSService:
         """
         variables, res = self._adapt(first_frame, first_mask, n_epochs,
                                      seed)
+        qp = self._slot_qparams(variables)
         slot = self._fleet.add(
-            variables,
-            calib_frame=np.asarray(first_frame) if self._int8 else None)
+            variables, qparams=qp,
+            calib_frame=(np.asarray(first_frame)
+                         if self._int8 and qp is None else None))
         return slot, res
 
     def readapt(self, slot: int, frame: np.ndarray, mask: np.ndarray,
@@ -119,9 +147,11 @@ class VOSService:
         """Re-adapt a live stream (fresh from the parent, like the
         reference's per-sequence protocol) and hot-swap its weights."""
         variables, res = self._adapt(frame, mask, n_epochs, seed)
+        qp = self._slot_qparams(variables)
         self._fleet.swap_weights(
-            slot, variables,
-            calib_frame=np.asarray(frame) if self._int8 else None)
+            slot, variables, qparams=qp,
+            calib_frame=(np.asarray(frame)
+                         if self._int8 and qp is None else None))
         return res
 
     def leave(self, slot: int) -> None:

@@ -267,6 +267,50 @@ def test_mimic_cli_qat_int8(db, tmp_path, monkeypatch):
     assert len(installed) == 1 and 'base_conv' in installed[0]
 
 
+def test_vos_service_qat_int8_join(db):
+    """VOSService(qat_int8=True): the join adapts through the fake-quant
+    forward and the slot serves int8 with the training-time scales —
+    bit-equal to the manual qat chain (calibrate -> finetune(apply_fn) ->
+    finalize -> engine.set_qparams)."""
+    from fosvos_tpu.data import davis as davis_mod
+    from fosvos_tpu.evaluation import experiment, service
+    from fosvos_tpu.train import optimizers as opt
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tr = davis_mod.DAVIS2016(mode='train', db_root_dir=db,
+                             seq_name='synth-swan')
+    img0, gt0 = tr.make_img_gt_pair(0)
+    ds = davis_mod.DAVIS2016(mode='test', db_root_dir=db,
+                             seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+
+    svc = service.VOSService(model, parent, capacity=2, n_epochs=4,
+                             avg_grad_every_n=2, mean=ds.meanval,
+                             qat_int8=True)
+    slot, res = svc.join(frames[0], (gt0 * 255).astype(np.uint8), seed=0)
+    assert res.n_steps == 4 and np.isfinite(res.losses).all()
+    got = svc.segment(frames[:1])
+
+    # manual chain: identical calibration (parent weights, first frame,
+    # margin 1.25), identical finetune seed/budget, int8 serve
+    act = qat.calibrate_scales(model, parent, [img0[None]], margin=1.25)
+    tuner = online.OnlineFinetuner(model, opt.online_variant(11),
+                                   avg_grad_every_n=2,
+                                   apply_fn=qat.make_apply(model, act))
+    r2 = tuner.finetune(parent, img0, gt0, n_epochs=4, seed=0)
+    adapted = {'params': r2.state.params, 'batch_stats': r2.state.batch_stats}
+    engine = experiment.InferenceEngine(model, 1, mean=ds.meanval, int8=True)
+    engine.set_qparams(adapted, qat.finalize(adapted, act))
+    want = engine.masks_for_sequence(adapted, frames[:1])
+    np.testing.assert_array_equal(got[0], want[0])
+
+    # churn: readapt hot-swaps with fresh QAT qparams, serving stays up
+    svc.readapt(slot, frames[1], gt0, n_epochs=2, seed=1)
+    assert svc.segment(frames[1:2]).shape == (1, 32, 48)
+
+
 def test_qat_sequential_mode_smoke(db, tiny_resnet):
     """apply_fn threads through the sequential (non-window) scan too."""
     model, variables = tiny_resnet
