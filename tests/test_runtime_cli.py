@@ -288,3 +288,22 @@ def test_visualize_network(tmp_path):
                             out_dir=str(tmp_path))
     assert Path(out['jaxpr']).exists()
     assert 'conv' in Path(out['hlo']).read_text().lower()
+
+
+def test_warmup_cli_populates_cache(tmp_path, monkeypatch):
+    """fosvos-warmup executes every production program (serve incl. int8,
+    the adaptation scans incl. QAT, the webcam step) at the requested
+    shapes and the persistent XLA cache gains entries — later processes
+    skip the multi-minute 480p compiles."""
+    monkeypatch.chdir(tmp_path)
+    cache = tmp_path / 'xla-cache'
+    from fosvos_tpu.cli import warmup as cli_mod
+
+    cli_mod.main(['--network', 'resnet18', '--scale-down-exponent', '4',
+                  '--height', '32', '--width', '48',
+                  '--batch-size-test', '2', '--n-epochs', '12',
+                  '--serve', '--adapt', '--webcam', '--int8', '--qat-int8',
+                  '--cache-dir', str(cache)])
+
+    entries = list(cache.iterdir()) if cache.exists() else []
+    assert entries, 'warmup must leave compiled programs in the cache'
