@@ -150,6 +150,13 @@ class ElasticFleet:
             self._install_qslot(k, variables, calib_frame, qparams)
         return k
 
+    def get_weights(self, slot: int):
+        """Read one active slot's weights back to the host (e.g. to persist
+        an adapted stream as a checkpoint)."""
+        if slot not in self._active:
+            raise ValueError(f'slot {slot} is not active')
+        return jax.device_get(jax.tree.map(lambda a: a[slot], self._slots))
+
     def remove(self, slot: int) -> None:
         """Deactivate a stream; its HBM slot is recycled for the next
         :meth:`add`. Nothing device-side happens."""

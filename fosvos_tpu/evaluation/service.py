@@ -154,6 +154,41 @@ class VOSService:
                          if self._int8 and qp is None else None))
         return res
 
+    def adopt(self, variables, calib_frame: Optional[np.ndarray] = None
+              ) -> int:
+        """Start serving an *already-adapted* model (e.g. a checkpoint the
+        online sweep produced) without re-running adaptation. With int8
+        serving, pass ``calib_frame`` unless a QAT join already calibrated
+        the service scales. Returns the slot id."""
+        qp = (self._slot_qparams(variables)
+              if self._qat and self._qat_scales is not None else None)
+        if self._int8 and qp is None and calib_frame is None:
+            raise ValueError('int8 service: adopt() needs a calib_frame '
+                             '(or a prior QAT join to provide scales)')
+        return self._fleet.add(
+            variables, qparams=qp,
+            calib_frame=(np.asarray(calib_frame)
+                         if self._int8 and qp is None else None))
+
+    def export_slot(self, slot: int, models_dir, name: str,
+                    sequence: Optional[str] = None,
+                    epoch: Optional[int] = None,
+                    variant_offline: int = 11, variant_online: int = 11
+                    ) -> str:
+        """Persist a live stream's adapted weights under the reference
+        checkpoint naming contract (``network_provider.py:36-51``), so the
+        manual CLIs (evaluate / run_webcam / fleet) can reload exactly what
+        the service is serving. Returns the checkpoint stem."""
+        from fosvos_tpu.runtime import checkpoint
+        variables = self._fleet.get_weights(slot)
+        stem = checkpoint.checkpoint_stem(
+            name, (self.n_epochs - 1) if epoch is None else epoch,
+            variant_offline, variant_online, sequence)
+        arch_json = (self.model.arch.to_json()
+                     if hasattr(self.model, 'arch') else None)
+        checkpoint.save(str(models_dir), stem, variables, arch_json)
+        return stem
+
     def leave(self, slot: int) -> None:
         """Stop serving a stream; its slot is recycled."""
         self._fleet.remove(slot)

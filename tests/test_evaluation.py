@@ -489,3 +489,60 @@ def test_vos_service_vgg_no_batch_stats(db):
     assert res.n_steps == 2 and np.isfinite(res.losses).all()
     out = svc.segment(frames[:1])
     assert out.shape == (1, 32, 48) and out.dtype == np.uint8
+
+
+def test_vos_service_export_and_adopt(db, tmp_path):
+    """export_slot persists what the service is serving (reference
+    checkpoint naming + arch JSON); adopt() serves an already-adapted
+    checkpoint without re-running adaptation — both bit-equal to the
+    live slot's masks."""
+    from fosvos_tpu.evaluation import service
+    from fosvos_tpu.runtime import checkpoint
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    _, gt0 = tr.make_img_gt_pair(0)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+
+    svc = service.VOSService(model, parent, capacity=2, n_epochs=4,
+                             avg_grad_every_n=2, mean=ds.meanval)
+    slot, _ = svc.join(frames[0], (gt0 * 255).astype(np.uint8), seed=0)
+    live = svc.segment(frames[:1])
+
+    stem = svc.export_slot(slot, tmp_path, 'resnet18',
+                           sequence='synth-swan')
+    assert stem == 'resnet18_11_11_synth-swan_epoch-3'
+    assert checkpoint.exists(str(tmp_path), stem)
+    loaded, arch_json = checkpoint.load(str(tmp_path), stem)
+    assert arch_json  # topology travels with the weights
+    engine = experiment.InferenceEngine(model, 1, mean=ds.meanval)
+    want = engine.masks_for_sequence(
+        jax.tree.map(jnp.asarray, loaded), frames[:1])
+    np.testing.assert_array_equal(live[0], want[0])
+
+    # a second service adopts the exported checkpoint: no adaptation run,
+    # identical serving
+    svc2 = service.VOSService(model, parent, capacity=1, n_epochs=4,
+                              avg_grad_every_n=2, mean=ds.meanval)
+    svc2.adopt(jax.tree.map(jnp.asarray, loaded))
+    np.testing.assert_array_equal(svc2.segment(frames[:1])[0], live[0])
+
+
+def test_vos_service_adopt_int8_needs_calibration(db):
+    from fosvos_tpu.evaluation import service
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+    svc = service.VOSService(model, parent, capacity=1, int8=True,
+                             mean=ds.meanval)
+    with pytest.raises(ValueError, match='calib_frame'):
+        svc.adopt(parent)
+    slot = svc.adopt(parent, calib_frame=frames[0])
+    assert svc.segment(frames[:1]).shape == (1, 32, 48)
+    assert svc.active_slots == (slot,)
