@@ -117,7 +117,7 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
 
 def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
                db_root_dir, save_dir_models, save_dir_results,
-               window_batch: bool = True) -> None:
+               window_batch: bool = True, qat_int8: bool = False) -> None:
     """All sequences at once on the mesh (fosvos_tpu.parallel.fanout)."""
     import jax
     from fosvos_tpu.parallel import fanout, make_mesh
@@ -134,24 +134,47 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
         gts.append(gt)
         mean = db.meanval
 
+    amodel = adaptation_model(net_provider, settings)
+    apply_fn = None
+    qat_scales = None
+    if qat_int8:
+        from fosvos_tpu.compress import qat
+        from fosvos_tpu.evaluation.experiment import device_preprocess
+        # one calibration for the whole fan-out (first sequence's frame;
+        # margin leaves headroom) — every sequence adapts through the same
+        # fake-quant forward, mirroring the sequential sweep
+        qat_scales = qat.calibrate_scales(
+            net_provider.model, net_provider.variables, [imgs[0][None]],
+            preprocess=lambda x: device_preprocess(x, mean), margin=1.25)
+        apply_fn = qat.make_apply(amodel, qat_scales)
+        log.info('QAT fanout: calibrated %d conv input scales',
+                 len(qat_scales))
+
     mesh = make_mesh(('seq',))
-    fo = fanout.SequenceFanout(adaptation_model(net_provider, settings),
+    fo = fanout.SequenceFanout(amodel,
                                mesh, net_provider.get_preset(),
                                settings.avg_grad_every_n, mean=mean,
-                               window_batch=window_batch)
+                               window_batch=window_batch,
+                               apply_fn=apply_fn)
     res = fo.finetune_all(net_provider.variables, np.stack(imgs),
                           np.stack(gts), n_epochs=settings.n_epochs)
     log.info('Fanout: adapted %d sequences in %.2fs on %d devices',
              len(sequences), res.wall_time_s, mesh.size)
 
     engine = experiment.InferenceEngine(net_provider.model,
-                                        settings.batch_size_test)  # fanout
+                                        settings.batch_size_test,
+                                        int8=qat_int8)  # fanout
     for k, seq in enumerate(sequences):
         net_provider.variables = jax.tree.map(
             lambda a: a[k], {'params': res.params,
                              'batch_stats': res.batch_stats})
         net_provider.save_model(settings.n_epochs - 1, sequence=seq)
         if settings.is_testing:
+            if qat_int8:
+                from fosvos_tpu.compress import qat
+                engine.set_qparams(
+                    net_provider.variables,
+                    qat.finalize(net_provider.variables, qat_scales))
             db = DAVIS2016(mode='test', db_root_dir=str(db_root_dir),
                            seq_name=seq)
             save_dir = (Path(save_dir_results) / net_provider.name
@@ -251,17 +274,14 @@ def main(argv=None):
     if qat_int8 and not getattr(args, 'int8', False):
         log.info('--qat-int8 implies --int8 for the test phase')
         args.int8 = True
-    if qat_int8 and getattr(args, 'fanout', False):
-        log.info('--qat-int8 runs the sequential regime (fan-out is not '
-                 'wired through the fake-quant forward)')
-        args.fanout = False
     if select_regime(len(sequences), len(jax.devices()),
                      getattr(args, 'fanout', False),
                      settings.is_training) == 'fanout':
         run_fanout(net_provider, sequences, settings, db_root_dir,
                    save_dir_models, save_dir_results,
                    window_batch=not getattr(args, 'sequential_windows',
-                                            False))
+                                            False),
+                   qat_int8=qat_int8)
         return
 
     # one finetuner + one inference engine reused across sequences: the

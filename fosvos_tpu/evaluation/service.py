@@ -12,6 +12,10 @@ collapses that into the server itself:
   reference budget on-chip), and installs the adapted weights into an
   :class:`evaluation.elastic.ElasticFleet` slot — the stream starts being
   served on the next :meth:`segment` call, no recompiles;
+* :meth:`join_many` adapts a whole cohort of joining streams at once —
+  on a multi-device ``'seq'`` mesh the K adaptations run in parallel
+  (``parallel/fanout``), cold-starting a K-camera fleet in roughly one
+  adaptation's wall time instead of K;
 * :meth:`segment` serves every live stream in one fleet dispatch;
 * :meth:`leave` frees the slot; :meth:`readapt` re-runs adaptation for a
   live stream (e.g. on a drift-corrected annotation) and hot-swaps its
@@ -24,7 +28,7 @@ shapes -> one compile for the life of the service).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -51,6 +55,11 @@ class VOSService:
       bf16 / int8 / mesh: serving precision/sharding, forwarded to
         :class:`ElasticFleet`. int8 streams self-calibrate on their first
         frame at join time.
+      adapt_bf16: run the adaptation steps with bfloat16 activations
+        (params, optimizer state, BN running stats and the loss stay
+        float32 — the ``train-online --bf16`` recipe; the adapted weights
+        installed into the fleet remain fp32). Ignored with ``qat_int8``
+        (the fake-quant forward defines its own numerics).
       qat_int8: quantization-aware joins — each adaptation runs through
         the fake-quant forward (``compress/qat.py``) and the slot serves
         int8 with the training-time scales (implies ``int8``). Scales are
@@ -58,6 +67,9 @@ class VOSService:
         the adaptation programs still compile once for the service's life.
       adapt_mesh: optional mesh to shard each adaptation itself (latency;
         see ``OnlineFinetuner``).
+      fanout_mesh: optional ``'seq'``-axis mesh for :meth:`join_many`
+        cohort adaptation; default: auto-built over all devices when more
+        than one is visible.
       mean: BGR channel mean (uint8 frames are mean-subtracted on device
         for serving and on host for the adaptation pair).
     """
@@ -67,7 +79,8 @@ class VOSService:
                  n_epochs: int = 10000, avg_grad_every_n: int = 5,
                  augment: bool = True, bf16: bool = False,
                  int8: bool = False, mesh=None, adapt_mesh=None,
-                 mean=DAVIS_MEAN_BGR, qat_int8: bool = False):
+                 mean=DAVIS_MEAN_BGR, qat_int8: bool = False,
+                 fanout_mesh=None, adapt_bf16: bool = False):
         self.model = model
         self.parent_variables = parent_variables
         self.n_epochs = n_epochs
@@ -81,34 +94,58 @@ class VOSService:
         self._tuner_kwargs = dict(
             preset=preset or optimizers.online_variant(11),
             avg_grad_every_n=avg_grad_every_n, mesh=adapt_mesh)
+        self._adapt_model = model
+        if adapt_bf16 and not qat_int8:
+            import jax.numpy as jnp
+            self._adapt_model = model.clone(dtype=jnp.bfloat16)
         # with QAT the tuner needs the (first-join-calibrated) scales, so
         # it is built lazily in _adapt
         self._tuner = None if qat_int8 else online.OnlineFinetuner(
-            model, **self._tuner_kwargs)
+            self._adapt_model, **self._tuner_kwargs)
+        self._fanout_mesh = fanout_mesh
+        self._fanout = None
 
     @property
     def active_slots(self) -> Tuple[int, ...]:
         """Slot ids in serving order (``segment`` frame/mask order)."""
         return self._fleet.active_slots
 
-    def _adapt(self, frame: np.ndarray, mask: np.ndarray,
-               n_epochs: Optional[int], seed: int):
+    def _preprocess_frame(self, frame: np.ndarray) -> np.ndarray:
         frame = np.asarray(frame)
         if frame.dtype == np.uint8:  # device_preprocess contract, on host
             frame = frame.astype(np.float32) - np.asarray(self.mean,
                                                           np.float32)
+        return frame
+
+    @staticmethod
+    def _normalize_mask(mask: np.ndarray) -> np.ndarray:
         mask = np.asarray(mask, np.float32)
         if mask.max() > 0:           # 0/255 uint8 or {0,1} -> [0,1]
             mask = mask / mask.max()
+        return mask
+
+    def _ensure_qat(self, frame: np.ndarray) -> None:
+        """First QAT adaptation: calibrate the service's input scales on
+        this frame against the parent and build the fake-quant tuner.
+        Subsequent joins reuse the scales (one compile for the service's
+        life)."""
+        if not self._qat or self._qat_scales is not None:
+            return
+        from fosvos_tpu.compress import qat
+        frame = self._preprocess_frame(frame)
+        self._qat_scales = qat.calibrate_scales(
+            self.model, self.parent_variables, [frame[None]], margin=1.25)
+        self._tuner = online.OnlineFinetuner(
+            self.model,
+            apply_fn=qat.make_apply(self.model, self._qat_scales),
+            **self._tuner_kwargs)
+
+    def _adapt(self, frame: np.ndarray, mask: np.ndarray,
+               n_epochs: Optional[int], seed: int):
+        frame = self._preprocess_frame(frame)
+        mask = self._normalize_mask(mask)
         if self._tuner is None:      # first QAT join: calibrate + build
-            from fosvos_tpu.compress import qat
-            self._qat_scales = qat.calibrate_scales(
-                self.model, self.parent_variables, [frame[None]],
-                margin=1.25)
-            self._tuner = online.OnlineFinetuner(
-                self.model,
-                apply_fn=qat.make_apply(self.model, self._qat_scales),
-                **self._tuner_kwargs)
+            self._ensure_qat(frame)
         res = self._tuner.finetune(
             self.parent_variables, frame, mask,
             n_epochs=self.n_epochs if n_epochs is None else n_epochs,
@@ -140,6 +177,94 @@ class VOSService:
             calib_frame=(np.asarray(first_frame)
                          if self._int8 and qp is None else None))
         return slot, res
+
+    def join_many(self, first_frames: np.ndarray, first_masks: np.ndarray,
+                  n_epochs: Optional[int] = None, seed: int = 0, mesh=None
+                  ) -> Tuple[List[int], Union[List[online.OnlineResult],
+                                              'fanout.FanoutResult']]:
+        """Adapt K joining streams as one cohort and start serving them.
+
+        On a multi-device ``'seq'`` mesh the K one-shot adaptations run in
+        parallel via ``parallel.fanout.SequenceFanout`` (the TPU inversion
+        of the reference's process-per-sequence sharding,
+        ``train_online.py:183-186``) — a K-camera fleet cold-starts in
+        roughly one adaptation's wall time. On a single device it falls
+        back to sequential :meth:`join` calls (the fan-out's HBM churn is
+        a measured 2.2x penalty there; see BENCHMARKS.md).
+
+        Cohort sizes are padded up to power-of-two multiples of the mesh's
+        ``'seq'`` axis, so differently-sized cohorts reuse at most
+        log2(capacity) compiled adaptation programs.
+
+        Args:
+          first_frames: (K, H, W, 3) uint8 BGR (or mean-subtracted
+            float32) first annotated frames.
+          first_masks: (K, H, W) object masks (bool / 0-255 / [0,1]).
+          mesh: override the fan-out mesh for this call.
+        Returns:
+          (slot ids in join order, adaptation info — a
+          ``parallel.fanout.FanoutResult`` on the fan-out path, else the
+          list of per-stream ``OnlineResult``).
+        """
+        import jax
+
+        frames = np.asarray(first_frames)
+        masks = np.stack([self._normalize_mask(m) for m in first_masks])
+        K = frames.shape[0]
+        if K == 0:
+            return [], []
+        mesh = mesh or self._fanout_mesh
+        if mesh is None and jax.device_count() > 1:
+            from fosvos_tpu.parallel import make_mesh
+            mesh = make_mesh(('seq',))
+        if mesh is None or mesh.size == 1 or K == 1:
+            slots, results = [], []
+            for k in range(K):
+                slot, res = self.join(frames[k], masks[k],
+                                      n_epochs=n_epochs, seed=seed + k)
+                slots.append(slot)
+                results.append(res)
+            return slots, results
+
+        from fosvos_tpu.parallel import fanout as fanout_mod
+        self._ensure_qat(frames[0])
+        if self._fanout is None or self._fanout.mesh is not mesh:
+            apply_fn = None
+            if self._qat:
+                from fosvos_tpu.compress import qat
+                apply_fn = qat.make_apply(self.model, self._qat_scales)
+            self._fanout = fanout_mod.SequenceFanout(
+                self._adapt_model, mesh,
+                preset=self._tuner_kwargs['preset'],
+                avg_grad_every_n=self._tuner_kwargs['avg_grad_every_n'],
+                mean=self.mean, apply_fn=apply_fn)
+
+        n_seq = mesh.shape['seq']
+        bucket = n_seq
+        while bucket < K:
+            bucket *= 2
+        pad = bucket - K
+        if pad:
+            frames_p = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+            masks_p = np.concatenate([masks, masks[-1:].repeat(pad, 0)])
+        else:
+            frames_p, masks_p = frames, masks
+        res = self._fanout.finetune_all(
+            self.parent_variables, frames_p, masks_p,
+            n_epochs=self.n_epochs if n_epochs is None else n_epochs,
+            augment=self.augment, seed=seed)
+
+        slots = []
+        for k in range(K):
+            variables = jax.device_get(jax.tree.map(
+                lambda a: a[k], {'params': res.params,
+                                 'batch_stats': res.batch_stats}))
+            qp = self._slot_qparams(variables)
+            slots.append(self._fleet.add(
+                variables, qparams=qp,
+                calib_frame=(frames[k]
+                             if self._int8 and qp is None else None)))
+        return slots, res
 
     def readapt(self, slot: int, frame: np.ndarray, mask: np.ndarray,
                 n_epochs: Optional[int] = None, seed: int = 0

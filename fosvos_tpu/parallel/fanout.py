@@ -44,7 +44,8 @@ class SequenceFanout:
     def __init__(self, model, mesh: Mesh,
                  preset: Optional[optimizers.Preset] = None,
                  avg_grad_every_n: int = 5, mean=DAVIS_MEAN_BGR,
-                 window_batch: bool = True):
+                 window_batch: bool = True,
+                 apply_fn=None):
         if 'seq' not in mesh.axis_names:
             raise ValueError("fanout mesh needs a 'seq' axis")
         self.model = model
@@ -52,6 +53,9 @@ class SequenceFanout:
         self.preset = preset or optimizers.online_variant(11)
         self.avg_grad_every_n = avg_grad_every_n
         self.mean = tuple(mean)
+        # optional model.apply drop-in (e.g. compress.qat.make_apply):
+        # every fanned-out sequence adapts through the same forward
+        self.apply_fn = apply_fn
         # batched accumulation windows (train.online.window_step_fns): each
         # sequence's 5-micro-step window is ONE vmapped {orig, flipped}
         # fwd/bwd — numerically equivalent, measured 3.4x on-chip
@@ -86,6 +90,7 @@ class SequenceFanout:
         optimizer = optax.MultiSteps(base_opt,
                                      every_k_schedule=self.avg_grad_every_n)
         model = self.model
+        apply = self.apply_fn if self.apply_fn is not None else model.apply
 
         def one_seq_step(carry, image, gt):
             p, batch_stats, opt_state, key = carry
@@ -95,7 +100,7 @@ class SequenceFanout:
                                              flip)
 
             def loss_fn(pp):
-                outs, mut = model.apply(
+                outs, mut = apply(
                     {'params': pp, 'batch_stats': batch_stats}, imgs,
                     train=True, mutable=['batch_stats'])
                 return online_loss(outs, g), mut['batch_stats']
@@ -144,7 +149,8 @@ class SequenceFanout:
 
         optimizer = optimizers.make_optimizer(self.preset, params)
         window_step, partial_step = window_step_fns(
-            self.model, optimizer, self.avg_grad_every_n)
+            self.model, optimizer, self.avg_grad_every_n,
+            apply_fn=self.apply_fn)
 
         def per_seq_windows(carry1, x2, g2, n_windows):
             carry1, losses = jax.lax.scan(

@@ -51,7 +51,9 @@ def make_mesh(axis_names: Sequence[str] = ('data',),
     """Build a mesh over the available devices.
 
     With no ``shape``, all devices go to the first axis. ``shape`` entries of
-    -1 are inferred (like reshape).
+    -1 are inferred (like reshape). An explicit ``shape`` smaller than the
+    device count takes the first prod(shape) devices (e.g. a 1-device 'seq'
+    mesh on an 8-device host).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -61,6 +63,9 @@ def make_mesh(axis_names: Sequence[str] = ('data',),
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         shape[shape.index(-1)] = n // known
+    want = int(np.prod(shape))
+    if want < n:
+        devices = devices[:want]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(axis_names))
 

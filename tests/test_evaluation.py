@@ -531,6 +531,86 @@ def test_vos_service_export_and_adopt(db, tmp_path):
     np.testing.assert_array_equal(svc2.segment(frames[:1])[0], live[0])
 
 
+def test_vos_service_join_many_fanout(db):
+    """join_many on a multi-device 'seq' mesh: the cohort adapts in one
+    fan-out (FanoutResult), every stream starts serving, and each slot's
+    weights actually learned its own target (losses drop, masks differ
+    from the parent's)."""
+    from fosvos_tpu.evaluation import service
+    from fosvos_tpu.parallel import fanout, make_mesh
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    fr, gt = {}, {}
+    for seq in ('synth-swan', 'synth-goat'):
+        ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name=seq)
+        fr[seq], _, _ = ds.load_sequence(raw=True)
+        tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name=seq)
+        _, gt[seq] = tr.make_img_gt_pair(0)
+        mean = tr.meanval
+
+    svc = service.VOSService(model, parent, capacity=4, n_epochs=4,
+                             avg_grad_every_n=2, mean=mean,
+                             fanout_mesh=make_mesh(('seq',)))
+    frames0 = np.stack([fr['synth-swan'][0], fr['synth-goat'][0],
+                        fr['synth-swan'][1]])
+    masks0 = np.stack([(gt['synth-swan'] * 255).astype(np.uint8),
+                       (gt['synth-goat'] * 255).astype(np.uint8),
+                       (gt['synth-swan'] * 255).astype(np.uint8)])
+    slots, res = svc.join_many(frames0, masks0, seed=0)
+    assert isinstance(res, fanout.FanoutResult)
+    assert len(slots) == 3 and svc.active_slots == tuple(slots)
+    assert np.isfinite(res.losses).all()
+    # each stream's slot holds weights that moved off the parent
+    p0 = np.asarray(jax.tree.leaves(parent['params'])[0])
+    for s in slots:
+        leaf = np.asarray(jax.tree.leaves(
+            svc._fleet.get_weights(s)['params'])[0])
+        assert not np.array_equal(leaf, p0)
+
+    out = svc.segment(frames0)
+    assert out.shape == (3, 32, 48) and out.dtype == np.uint8
+
+    # cohort + single joins compose: the fleet keeps serving after churn
+    svc.leave(slots[1])
+    s4, r4 = svc.join(fr['synth-goat'][1], masks0[1], seed=7)
+    assert np.isfinite(r4.losses).all()
+    assert svc.segment(np.stack(
+        [frames0[0], frames0[2], fr['synth-goat'][1]])).shape == (3, 32, 48)
+
+
+def test_vos_service_join_many_sequential_fallback(db):
+    """join_many on a 1-device mesh falls back to sequential joins
+    (per-stream OnlineResult list), bit-identical to manual join calls."""
+    from fosvos_tpu.evaluation import service
+    from fosvos_tpu.parallel import make_mesh
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    _, gt0 = tr.make_img_gt_pair(0)
+    mask = (gt0 * 255).astype(np.uint8)
+
+    mesh1 = make_mesh(('seq',), shape=(1,))
+    svc = service.VOSService(model, parent, capacity=2, n_epochs=4,
+                             avg_grad_every_n=2, mean=ds.meanval,
+                             fanout_mesh=mesh1)
+    slots, results = svc.join_many(np.stack([frames[0], frames[1]]),
+                                   np.stack([mask, mask]), seed=3)
+    assert isinstance(results, list) and len(results) == 2
+    got = svc.segment(frames[:2])
+
+    svc2 = service.VOSService(model, parent, capacity=2, n_epochs=4,
+                              avg_grad_every_n=2, mean=ds.meanval)
+    svc2.join(frames[0], mask, seed=3)
+    svc2.join(frames[1], mask, seed=4)   # join_many seeds are seed + k
+    np.testing.assert_array_equal(got, svc2.segment(frames[:2]))
+
+
 def test_vos_service_adopt_int8_needs_calibration(db):
     from fosvos_tpu.evaluation import service
 
@@ -546,3 +626,29 @@ def test_vos_service_adopt_int8_needs_calibration(db):
     slot = svc.adopt(parent, calib_frame=frames[0])
     assert svc.segment(frames[:1]).shape == (1, 32, 48)
     assert svc.active_slots == (slot,)
+
+
+def test_vos_service_adapt_bf16(db):
+    """adapt_bf16: the adaptation runs with bf16 activations but the
+    adapted params installed into the fleet stay float32, and serving
+    works end-to-end."""
+    from fosvos_tpu.evaluation import service
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    _, gt0 = tr.make_img_gt_pair(0)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+
+    svc = service.VOSService(model, parent, capacity=1, n_epochs=4,
+                             avg_grad_every_n=2, mean=ds.meanval,
+                             adapt_bf16=True, augment=False)
+    assert svc._adapt_model.dtype == jnp.bfloat16
+    slot, res = svc.join(frames[0], gt0, seed=0)
+    assert np.isfinite(res.losses).all()
+    for leaf in jax.tree.leaves(svc._fleet.get_weights(slot)['params']):
+        assert np.asarray(leaf).dtype == np.float32
+    out = svc.segment(frames[:1])
+    assert out.shape == (1, 32, 48) and out.dtype == np.uint8

@@ -311,6 +311,63 @@ def test_vos_service_qat_int8_join(db):
     assert svc.segment(frames[1:2]).shape == (1, 32, 48)
 
 
+def test_qat_fanout_cli(db, tmp_path, monkeypatch):
+    """--qat-int8 composes with --fanout: every fanned-out sequence adapts
+    through the shared fake-quant forward and tests serve int8 with the
+    training-time scales (one set_qparams per sequence)."""
+    from pathlib import Path
+    from fosvos_tpu.cli import train_online as cli_mod
+    from fosvos_tpu.evaluation import experiment
+    from fosvos_tpu.runtime import checkpoint
+    from fosvos_tpu.runtime.providers import ResNetOnlineProvider
+
+    monkeypatch.chdir(tmp_path)
+    orig = cli_mod.OnlineSettings
+
+    def small(**kw):
+        kw.update(n_epochs=8, snapshot_every_n=8)
+        return orig(**kw)
+
+    monkeypatch.setattr(cli_mod, 'OnlineSettings', small)
+    monkeypatch.setattr(cli_mod, 'VAL_SEQUENCES',
+                        ['synth-swan', 'synth-goat'])
+
+    installed = []
+    orig_set = experiment.InferenceEngine.set_qparams
+
+    def spy(self, variables, qparams):
+        installed.append(set(qparams.act_scale))
+        return orig_set(self, variables, qparams)
+
+    monkeypatch.setattr(experiment.InferenceEngine, 'set_qparams', spy)
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3), jnp.float32),
+                           train=False)
+    seed = ResNetOnlineProvider('resnet18', 'models',
+                                small(variant_offline=11, variant_online=11),
+                                variant_offline=11, variant_online=11)
+    seed.model = model
+    seed.variables = jax.tree.map(jnp.asarray, variables)
+    Path('models').mkdir(exist_ok=True)
+    seed.save_model(239)
+
+    cli_mod.main(['--network', 'resnet18', '--variant-offline', '11',
+                  '--variant-online', '11', '--fanout', '--qat-int8',
+                  '--db-root-dir', db])
+
+    for seq in ('synth-swan', 'synth-goat'):
+        assert checkpoint.exists('models', f'resnet18_11_11_{seq}_epoch-7')
+        masks = (list(Path(f'results/resnet18/11/11/{seq}/{seq}')
+                      .glob('*.png'))
+                 or list(Path(f'results/resnet18/11/11/{seq}')
+                         .glob('*.png')))
+        assert len(masks) == 4
+    assert len(installed) == 2
+    assert all('base_conv' in s for s in installed)
+
+
 def test_qat_sequential_mode_smoke(db, tiny_resnet):
     """apply_fn threads through the sequential (non-window) scan too."""
     model, variables = tiny_resnet
