@@ -535,3 +535,82 @@ def test_fleet_cli_elastic_int8(tmp_path):
     assert len(masks) == 3
     m0 = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
     assert m0.shape == (32, 48)
+
+
+def _write_video(path, frames):
+    import cv2
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*'MJPG'), 8,
+                         (w, h))
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+
+def test_serve_cli_end_to_end(db, tmp_path):
+    """fosvos-serve: videos + first-frame annotations -> join (one-shot
+    adaptation from the parent) -> elastic serve loop -> masks per stream,
+    exports under the reference checkpoint naming at EOF. Streams of
+    different lengths leave independently."""
+    import cv2
+
+    model, parent = _tiny_vars(seed=0)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'resnet18_11_epoch-239', parent,
+                    model.arch.to_json())
+
+    # two streams from the synthetic fixture, different lengths
+    from fosvos_tpu.data import davis
+    specs = []
+    lengths = {'synth-swan': 4, 'synth-goat': 3}
+    for seq, n in lengths.items():
+        ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name=seq)
+        frames, _, _ = ds.load_sequence(raw=True)
+        _write_video(tmp_path / f'{seq}.avi', [f for f in frames[:n]])
+        tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name=seq)
+        _, gt0 = tr.make_img_gt_pair(0)
+        mask_path = tmp_path / f'{seq}_mask.png'
+        cv2.imwrite(str(mask_path), (gt0 * 255).astype(np.uint8))
+        specs += ['--stream', f'{tmp_path / f"{seq}.avi"}={mask_path}']
+
+    from fosvos_tpu.cli import serve as serve_cli
+    out, exp = tmp_path / 'out', tmp_path / 'export'
+    serve_cli.main(['--parent', str(ckpt_dir / 'resnet18_11_epoch-239.npz'),
+                    *specs, '--n-epochs', '4', '--avg-grad-every-n', '2',
+                    '--no-augment', '--output-dir', str(out),
+                    '--export-dir', str(exp)], standalone_mode=False)
+
+    # MJPG re-encodes, so frame counts (not bytes) are the contract
+    for seq, n in lengths.items():
+        masks = sorted((out / seq).glob('*.png'))
+        assert len(masks) == n
+        m0 = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
+        assert m0.shape == (32, 48)
+        assert checkpoint.exists(str(exp), f'resnet18_11_11_{seq}_epoch-3')
+
+    # the adapted masks moved off the parent: serve the same first frame
+    # through a parent-only engine and compare
+    from fosvos_tpu.evaluation import experiment
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db,
+                         seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+    cap = cv2.VideoCapture(str(tmp_path / 'synth-swan.avi'))
+    ok, f0 = cap.read()
+    cap.release()
+    assert ok
+    engine = experiment.InferenceEngine(model, 1)
+    parent_mask = engine.masks_for_sequence(parent, f0[None])[0]
+    served = cv2.imread(str(sorted((out / 'synth-swan').glob('*.png'))[0]),
+                        cv2.IMREAD_GRAYSCALE)
+    assert not np.array_equal(served, parent_mask)
+
+
+def test_serve_cli_bad_stream_spec(tmp_path):
+    model, parent = _tiny_vars(seed=1)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'p', parent, model.arch.to_json())
+    import click
+    from fosvos_tpu.cli import serve as serve_cli
+    with pytest.raises(click.UsageError, match='VIDEO=FIRST_MASK'):
+        serve_cli.main(['--parent', str(ckpt_dir / 'p.npz'),
+                        '--stream', 'noequals.avi'], standalone_mode=False)

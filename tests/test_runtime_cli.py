@@ -299,6 +299,11 @@ def test_warmup_cli_populates_cache(tmp_path, monkeypatch):
     cache = tmp_path / 'xla-cache'
     from fosvos_tpu.cli import warmup as cli_mod
 
+    # on-disk entries are written only on a compile MISS; earlier suite
+    # tests may have compiled these same tiny programs into the in-memory
+    # executable cache, so drop it to force real compiles here
+    jax.clear_caches()
+
     cli_mod.main(['--network', 'resnet18', '--scale-down-exponent', '4',
                   '--height', '32', '--width', '48',
                   '--batch-size-test', '2', '--n-epochs', '12',
