@@ -98,6 +98,27 @@ def warm_adapt(model, variables, h: int, w: int, n_epochs: int,
              res.n_steps, bf16, qat_int8, time.perf_counter() - t0)
 
 
+def warm_fleet(model, variables, h: int, w: int, capacity: int,
+               bf16: bool, int8: bool, mean) -> None:
+    """Every serve-bucket program an ElasticFleet of this capacity can
+    reach (sizes 1, 2, 4, ... capacity — at most log2(capacity)+1), so a
+    production fleet's joins/leaves never hit a cold 480p compile."""
+    from fosvos_tpu.evaluation.elastic import ElasticFleet
+    ef = ElasticFleet(model, capacity, bf16=bf16, int8=int8, mean=mean)
+    frame = np.zeros((h, w, 3), np.uint8)
+    t0 = time.perf_counter()
+    n_active, bucket = 0, 1
+    while bucket <= capacity:
+        while n_active < bucket:
+            ef.add(variables, calib_frame=frame if int8 else None)
+            n_active += 1
+        ef.segment(np.zeros((n_active, h, w, 3), np.uint8))
+        bucket *= 2
+    log.info('fleet warm: %d bucket programs up to %d streams %dx%d '
+             'bf16=%s int8=%s (%.1fs)', n_active.bit_length(), n_active,
+             h, w, bf16, int8, time.perf_counter() - t0)
+
+
 def warm_webcam(model, variables, h: int, w: int, bf16: bool,
                 int8: bool) -> None:
     """The streaming segment program (run_webcam's one-jit step)."""
@@ -130,6 +151,9 @@ def main(argv=None):
                         help='warm the one-shot adaptation scans')
     parser.add_argument('--webcam', action='store_true',
                         help='warm the streaming segment program')
+    parser.add_argument('--fleet-capacity', default=0, type=int,
+                        help='warm every elastic-fleet serve bucket up to '
+                             'this capacity (power-of-two bucket sizes)')
     parser.add_argument('--sequential-windows', action='store_true')
     parser.add_argument('--bf16', action='store_true')
     parser.add_argument('--int8', action='store_true')
@@ -146,7 +170,8 @@ def main(argv=None):
     model, variables = build_model(args.network, args.arch_json,
                                    args.scale_down_exponent)
     h, w = args.height, args.width
-    if not (args.serve or args.adapt or args.webcam):
+    if not (args.serve or args.adapt or args.webcam
+            or args.fleet_capacity):
         args.serve = args.adapt = True
     t0 = time.perf_counter()
     if args.serve:
@@ -157,6 +182,9 @@ def main(argv=None):
                    args.avg_grad_every_n, args.bf16,
                    getattr(args, 'qat_int8', False),
                    args.sequential_windows)
+    if args.fleet_capacity:
+        warm_fleet(model, variables, h, w, args.fleet_capacity,
+                   args.bf16, args.int8, DAVIS_MEAN_BGR)
     if args.webcam:
         warm_webcam(model, variables, h, w, args.bf16, args.int8)
     log.info('warmup done in %.1fs — programs cached for later processes',

@@ -308,7 +308,7 @@ def test_warmup_cli_populates_cache(tmp_path, monkeypatch):
                   '--height', '32', '--width', '48',
                   '--batch-size-test', '2', '--n-epochs', '12',
                   '--serve', '--adapt', '--webcam', '--int8', '--qat-int8',
-                  '--cache-dir', str(cache)])
+                  '--fleet-capacity', '2', '--cache-dir', str(cache)])
 
     entries = list(cache.iterdir()) if cache.exists() else []
     assert entries, 'warmup must leave compiled programs in the cache'
