@@ -211,3 +211,99 @@ def test_vgg16_trunk_from_caffe(tmp_path):
     w0_torch = weights[0].transpose()
     assert params['stage0_conv0']['kernel'][1, 2, 0, 5] == \
         np.float32(w0_torch[5, 0, 1, 2])
+
+
+def test_export_resnet_state_dict_round_trip():
+    """export_torch is the exact inverse of the importer: a reference
+    OSVOS_RESNET state_dict survives import -> export with identical keys
+    and bit-identical values (modulo the num_batches_tracked zeros the
+    exporter adds for modern-torch strict loads)."""
+    from fosvos_tpu.models import export_torch as et
+
+    rng = np.random.RandomState(7)
+    sd = _reference_osvos_resnet18_sd(rng)
+    variables = it.osvos_resnet_checkpoint_to_variables(sd, resnet_arch(18))
+    back = et.osvos_resnet_variables_to_state_dict(variables,
+                                                   resnet_arch(18))
+
+    nbt = {k for k in back if k.endswith('num_batches_tracked')}
+    assert set(back) - nbt == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    # and our own fresh-init variables round-trip the other way
+    model = make_resnet(18)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 33, 49, 3), jnp.float32), train=False)
+    v = jax.tree.map(np.asarray, v)
+    sd2 = et.osvos_resnet_variables_to_state_dict(v, resnet_arch(18))
+    v2 = it.osvos_resnet_checkpoint_to_variables(sd2, resnet_arch(18))
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_export_vgg_state_dict_round_trip():
+    from fosvos_tpu.models import export_torch as et
+
+    model = OSVOSVGG()
+    v = model.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 33, 49, 3), jnp.float32))
+    params = jax.tree.map(np.asarray, v['params'])
+    sd = et.osvos_vgg_params_to_state_dict(params)
+    # reference Sequential indices: stage0 convs at 0/2, stages>0 at 1/3/5
+    assert 'stages.0.0.weight' in sd and 'stages.0.2.weight' in sd
+    assert 'stages.1.1.weight' in sd and 'stages.4.5.weight' in sd
+    assert 'upscale.0.weight' in sd and 'upscale_.3.weight' in sd
+    back = it.osvos_vgg_checkpoint_to_params(sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_save_reference_checkpoint_torch_loadable(tmp_path):
+    """save_reference_checkpoint writes a .pth that torch loads as CPU
+    tensors under the reference names (network_provider.py:53-57)."""
+    import torch
+    from fosvos_tpu.models import export_torch as et
+
+    model = make_resnet(18)
+    v = jax.tree.map(np.asarray, model.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 33, 49, 3), jnp.float32),
+        train=False))
+    path = tmp_path / 'resnet18_11_epoch-239.pth'
+    et.save_reference_checkpoint(str(path), v, model.arch)
+    sd = torch.load(str(path), map_location='cpu', weights_only=False)
+    assert isinstance(sd['layer_base.0.weight'], torch.Tensor)
+    assert sd['layer_base.0.weight'].shape == (64, 3, 7, 7)
+    # the migration path accepts what the exporter writes
+    v2 = it.osvos_resnet_checkpoint_to_variables(
+        {k: t.numpy() for k, t in sd.items()}, model.arch)
+    np.testing.assert_array_equal(
+        v2['params']['layer_fuse']['kernel'],
+        v['params']['layer_fuse']['kernel'])
+
+
+def test_export_torch_cli(tmp_path):
+    """fosvos-export-torch: framework .npz -> reference-layout .pth,
+    accepted back by the migration importer."""
+    import torch
+    from fosvos_tpu.cli import export_torch as cli_mod
+    from fosvos_tpu.models import OSVOSResNet
+    from fosvos_tpu.runtime import checkpoint
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    v = jax.tree.map(np.asarray, model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 48, 3), jnp.float32),
+        train=False))
+    checkpoint.save(str(tmp_path), 'student', v, model.arch.to_json())
+
+    out = tmp_path / 'student.pth'
+    cli_mod.main(['--checkpoint', str(tmp_path / 'student.npz'),
+                  '--output', str(out)])
+    sd = torch.load(str(out), map_location='cpu', weights_only=False)
+    # sde=4 student: widths 64/2**4 = 4
+    assert sd['layer_base.0.weight'].shape == (4, 3, 7, 7)
+    v2 = it.osvos_resnet_checkpoint_to_variables(
+        {k: t.numpy() for k, t in sd.items()}, model.arch)
+    np.testing.assert_array_equal(
+        v2['params']['base_conv']['kernel'],
+        v['params']['base_conv']['kernel'])
