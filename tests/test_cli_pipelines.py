@@ -614,3 +614,34 @@ def test_serve_cli_bad_stream_spec(tmp_path):
     with pytest.raises(click.UsageError, match='VIDEO=FIRST_MASK'):
         serve_cli.main(['--parent', str(ckpt_dir / 'p.npz'),
                         '--stream', 'noequals.avi'], standalone_mode=False)
+
+
+def test_serve_cli_mesh(db, tmp_path):
+    """--mesh: cohort joins fan out over the 'seq' axis and serving runs
+    from mesh-sharded fleet buckets (capacity rounds up to the axis)."""
+    import cv2
+
+    model, parent = _tiny_vars(seed=5)
+    ckpt_dir = tmp_path / 'models'
+    checkpoint.save(str(ckpt_dir), 'parent', parent, model.arch.to_json())
+
+    from fosvos_tpu.data import davis
+    specs = []
+    for seq in ('synth-swan', 'synth-goat'):
+        ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name=seq)
+        frames, _, _ = ds.load_sequence(raw=True)
+        _write_video(tmp_path / f'{seq}.avi', list(frames[:2]))
+        tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name=seq)
+        _, gt0 = tr.make_img_gt_pair(0)
+        mask_path = tmp_path / f'{seq}_mask.png'
+        cv2.imwrite(str(mask_path), (gt0 * 255).astype(np.uint8))
+        specs += ['--stream', f'{tmp_path / f"{seq}.avi"}={mask_path}']
+
+    from fosvos_tpu.cli import serve as serve_cli
+    out = tmp_path / 'out'
+    serve_cli.main(['--parent', str(ckpt_dir / 'parent.npz'), *specs,
+                    '--n-epochs', '4', '--avg-grad-every-n', '2',
+                    '--no-augment', '--mesh', '--output-dir', str(out)],
+                   standalone_mode=False)
+    for seq in ('synth-swan', 'synth-goat'):
+        assert len(list((out / seq).glob('*.png'))) == 2

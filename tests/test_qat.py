@@ -381,3 +381,42 @@ def test_qat_sequential_mode_smoke(db, tiny_resnet):
                          augment=False)
     assert res.losses.shape == (10,)
     assert np.isfinite(res.losses).all()
+
+
+def test_vos_service_qat_cohort_join(db):
+    """join_many with qat_int8 on a multi-device 'seq' mesh: the whole
+    cohort adapts through the shared fake-quant forward (one calibration,
+    FanoutResult) and every slot serves int8 with its own finalized
+    training-time scales."""
+    from fosvos_tpu.evaluation import service
+    from fosvos_tpu.parallel import fanout, make_mesh
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    _, gt0 = tr.make_img_gt_pair(0)
+    mask = (gt0 * 255).astype(np.uint8)
+
+    svc = service.VOSService(model, parent, capacity=2, n_epochs=4,
+                             avg_grad_every_n=2, augment=False,
+                             mean=ds.meanval, qat_int8=True,
+                             fanout_mesh=make_mesh(('seq',)))
+    slots, res = svc.join_many(np.stack([frames[0], frames[1]]),
+                               np.stack([mask, mask]), seed=0)
+    assert isinstance(res, fanout.FanoutResult)
+    assert svc._qat_scales is not None       # one shared calibration
+    assert len(slots) == 2
+    # the fleet holds finalized per-slot qparams (served int8, no
+    # self-recalibration): the two slots' weight grids differ because
+    # their adapted weights differ
+    assert svc._fleet._qslots is not None
+    leaves = jax.tree.leaves(svc._fleet._qslots)
+    assert any(np.asarray(l).shape and np.asarray(l).shape[0] >= 2
+               and not np.array_equal(np.asarray(l)[slots[0]],
+                                      np.asarray(l)[slots[1]])
+               for l in leaves)
+    out = svc.segment(np.stack([frames[0], frames[1]]))
+    assert out.shape == (2, 32, 48) and out.dtype == np.uint8
