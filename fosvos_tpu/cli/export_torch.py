@@ -39,19 +39,11 @@ def main(argv=None):
                              '.arch.json')
     args = parser.parse_args(argv)
 
-    from fosvos_tpu.models import (VGGArch, arch_from_json, resnet_arch)
+    from fosvos_tpu.cli.common import load_checkpoint
+    from fosvos_tpu.models import VGGArch, resnet_arch
     from fosvos_tpu.models import export_torch
-    from fosvos_tpu.runtime import checkpoint
 
-    p = Path(args.checkpoint)
-    stem = p.name[:-4] if p.name.endswith('.npz') else p.name
-    variables, arch_json = checkpoint.load(str(p.parent), stem)
-    if arch_json is not None:
-        arch = arch_from_json(arch_json)
-    elif args.network == 'vgg16':
-        arch = VGGArch()
-    else:
-        arch = resnet_arch(int(args.network.replace('resnet', '')))
+    variables, arch = load_checkpoint(args.checkpoint, args.network)
 
     if not isinstance(arch, VGGArch):
         canonical = resnet_arch(arch.version, arch.scale_down_exponent,

@@ -30,32 +30,11 @@ from pathlib import Path
 import click
 import numpy as np
 
-from fosvos_tpu.models import (OSVOSResNet, OSVOSVGG, ResNetArch, VGGArch,
-                               arch_from_json, resnet_arch)
-from fosvos_tpu.runtime import checkpoint
+from fosvos_tpu.cli.common import (load_checkpoint as _load_stream_model,
+                                   model_for_arch as _model_for_arch)
 from fosvos_tpu.runtime.logging import get_logger
 
 log = get_logger(__file__)
-
-
-def _load_stream_model(path: str, network: str):
-    p = Path(path)
-    d, stem = str(p.parent), p.name
-    if stem.endswith('.npz'):
-        stem = stem[:-4]
-    variables, arch_json = checkpoint.load(d, stem)
-    if arch_json is not None:
-        return variables, arch_from_json(arch_json)
-    if network == 'vgg16':
-        return variables, VGGArch()
-    version = int(network.replace('resnet', ''))
-    return variables, resnet_arch(version)
-
-
-def _model_for_arch(arch):
-    if isinstance(arch, VGGArch):
-        return OSVOSVGG(arch=arch)
-    return OSVOSResNet(arch=arch)
 
 
 @click.command()

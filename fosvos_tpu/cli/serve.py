@@ -27,27 +27,10 @@ from pathlib import Path
 import click
 import numpy as np
 
-from fosvos_tpu.models import (OSVOSResNet, OSVOSVGG, VGGArch,
-                               arch_from_json, resnet_arch)
-from fosvos_tpu.runtime import checkpoint
+from fosvos_tpu.cli.common import arch_name, load_checkpoint, model_for_arch
 from fosvos_tpu.runtime.logging import get_logger
 
 log = get_logger(__file__)
-
-
-def _load_parent(path: str, network: str):
-    p = Path(path)
-    stem = p.name[:-4] if p.name.endswith('.npz') else p.name
-    variables, arch_json = checkpoint.load(str(p.parent), stem)
-    if arch_json is not None:
-        arch = arch_from_json(arch_json)
-    elif network == 'vgg16':
-        arch = VGGArch()
-    else:
-        arch = resnet_arch(int(network.replace('resnet', '')))
-    model = OSVOSVGG(arch=arch) if isinstance(arch, VGGArch) \
-        else OSVOSResNet(arch=arch)
-    return model, variables
 
 
 @click.command()
@@ -97,7 +80,9 @@ def main(parent, streams, network, n_epochs, avg_grad_every_n, augment,
     import jax
     from fosvos_tpu.evaluation.service import VOSService
 
-    model, parent_vars = _load_parent(parent, network)
+    parent_vars, arch = load_checkpoint(parent, network)
+    model = model_for_arch(arch)
+    net_name = arch_name(arch)   # honest export naming for VGG/mimic parents
     parent_vars = jax.tree.map(np.asarray, parent_vars)
 
     videos, mask_paths = [], []
@@ -109,6 +94,12 @@ def main(parent, streams, network, n_epochs, avg_grad_every_n, augment,
         videos.append(video)
         mask_paths.append(mask_path)
     names = [Path(v).stem or f'stream{k}' for k, v in enumerate(videos)]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:   # paths sharing a basename would clobber each other's masks
+        names = [f'{n}-{k}' if n in dup else n
+                 for k, n in enumerate(names)]
+        log.info('duplicate stream basenames %s disambiguated by index',
+                 sorted(dup))
 
     caps = [cv2.VideoCapture(v) for v in videos]
     first_frames = []
@@ -162,7 +153,7 @@ def main(parent, streams, network, n_epochs, avg_grad_every_n, augment,
     def _retire(slot: int) -> None:
         k = slot_to_stream[slot]
         if export_dir is not None:
-            stem = svc.export_slot(slot, export_dir, network,
+            stem = svc.export_slot(slot, export_dir, net_name,
                                    sequence=names[k],
                                    epoch=n_epochs - 1)
             log.info('exported %s -> %s/%s.npz', names[k], export_dir,

@@ -117,7 +117,8 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
 
 def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
                db_root_dir, save_dir_models, save_dir_results,
-               window_batch: bool = True, qat_int8: bool = False) -> None:
+               window_batch: bool = True, qat_int8: bool = False,
+               int8: bool = False, bf16: bool = False) -> None:
     """All sequences at once on the mesh (fosvos_tpu.parallel.fanout)."""
     import jax
     from fosvos_tpu.parallel import fanout, make_mesh
@@ -163,7 +164,8 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
 
     engine = experiment.InferenceEngine(net_provider.model,
                                         settings.batch_size_test,
-                                        int8=qat_int8)  # fanout
+                                        bf16=bf16,
+                                        int8=int8 or qat_int8)  # fanout
     for k, seq in enumerate(sequences):
         net_provider.variables = jax.tree.map(
             lambda a: a[k], {'params': res.params,
@@ -281,7 +283,9 @@ def main(argv=None):
                    save_dir_models, save_dir_results,
                    window_batch=not getattr(args, 'sequential_windows',
                                             False),
-                   qat_int8=qat_int8)
+                   qat_int8=qat_int8,
+                   int8=getattr(args, 'int8', False),
+                   bf16=getattr(args, 'bf16', False))
         return
 
     # one finetuner + one inference engine reused across sequences: the

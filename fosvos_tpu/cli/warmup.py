@@ -101,21 +101,22 @@ def warm_adapt(model, variables, h: int, w: int, n_epochs: int,
 def warm_fleet(model, variables, h: int, w: int, capacity: int,
                bf16: bool, int8: bool, mean) -> None:
     """Every serve-bucket program an ElasticFleet of this capacity can
-    reach (sizes 1, 2, 4, ... capacity — at most log2(capacity)+1), so a
-    production fleet's joins/leaves never hit a cold 480p compile."""
-    from fosvos_tpu.evaluation.elastic import ElasticFleet
+    reach (``elastic._bucket_sizes``: power-of-two sizes plus the
+    capacity itself), so a production fleet's joins/leaves never hit a
+    cold 480p compile — including at full fleet load."""
+    from fosvos_tpu.evaluation.elastic import ElasticFleet, _bucket_sizes
     ef = ElasticFleet(model, capacity, bf16=bf16, int8=int8, mean=mean)
     frame = np.zeros((h, w, 3), np.uint8)
     t0 = time.perf_counter()
-    n_active, bucket = 0, 1
-    while bucket <= capacity:
+    sizes = _bucket_sizes(capacity, 1)
+    n_active = 0
+    for bucket in sizes:
         while n_active < bucket:
             ef.add(variables, calib_frame=frame if int8 else None)
             n_active += 1
         ef.segment(np.zeros((n_active, h, w, 3), np.uint8))
-        bucket *= 2
     log.info('fleet warm: %d bucket programs up to %d streams %dx%d '
-             'bf16=%s int8=%s (%.1fs)', n_active.bit_length(), n_active,
+             'bf16=%s int8=%s (%.1fs)', len(sizes), n_active,
              h, w, bf16, int8, time.perf_counter() - t0)
 
 

@@ -256,9 +256,12 @@ class VOSService:
 
         slots = []
         for k in range(K):
-            variables = jax.device_get(jax.tree.map(
+            # slice on device: the fleet add() re-uploads host trees, so a
+            # device_get here would round-trip every member's full weights
+            # through the (high-latency) host link for nothing
+            variables = jax.tree.map(
                 lambda a: a[k], {'params': res.params,
-                                 'batch_stats': res.batch_stats}))
+                                 'batch_stats': res.batch_stats})
             qp = self._slot_qparams(variables)
             slots.append(self._fleet.add(
                 variables, qparams=qp,

@@ -51,9 +51,10 @@ def make_mesh(axis_names: Sequence[str] = ('data',),
     """Build a mesh over the available devices.
 
     With no ``shape``, all devices go to the first axis. ``shape`` entries of
-    -1 are inferred (like reshape). An explicit ``shape`` smaller than the
-    device count takes the first prod(shape) devices (e.g. a 1-device 'seq'
-    mesh on an 8-device host).
+    -1 are inferred (like reshape; the device count must divide evenly). A
+    fully-explicit ``shape`` smaller than the device count takes the first
+    prod(shape) devices (e.g. a 1-device 'seq' mesh on an 8-device host) —
+    -1 shapes never drop devices silently.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -62,10 +63,15 @@ def make_mesh(axis_names: Sequence[str] = ('data',),
     shape = list(shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
+        if n % known:
+            raise ValueError(
+                f'cannot infer -1 in mesh shape {shape}: {n} devices are '
+                f'not divisible by {known}')
         shape[shape.index(-1)] = n // known
-    want = int(np.prod(shape))
-    if want < n:
-        devices = devices[:want]
+    else:
+        want = int(np.prod(shape))
+        if want < n:
+            devices = devices[:want]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(axis_names))
 

@@ -32,6 +32,12 @@ def test_mesh_construction():
     assert m2.shape == {'data': 4, 'spatial': 2}
     m3 = make_mesh(('seq',), shape=(-1,))
     assert m3.shape['seq'] == 8
+    # explicit sub-mesh: first prod(shape) devices
+    m4 = make_mesh(('seq',), shape=(2,))
+    assert m4.shape['seq'] == 2
+    # -1 inference must never silently drop devices (8 % 3 != 0)
+    with pytest.raises(ValueError, match='not divisible'):
+        make_mesh(('data', 'spatial'), shape=(-1, 3))
 
 
 def test_dp_train_step_matches_single_device(db, tiny):

@@ -312,3 +312,27 @@ def test_warmup_cli_populates_cache(tmp_path, monkeypatch):
 
     entries = list(cache.iterdir()) if cache.exists() else []
     assert entries, 'warmup must leave compiled programs in the cache'
+
+
+def test_warm_fleet_covers_non_pow2_capacity(tmp_path, monkeypatch):
+    """warm_fleet walks the fleet's REAL bucket ladder — including the
+    capacity-sized top bucket a non-power-of-two fleet serves at full
+    load (elastic._bucket_sizes appends capacity itself)."""
+    monkeypatch.chdir(tmp_path)
+    from fosvos_tpu.cli import warmup as cli_mod
+    from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
+    from fosvos_tpu.evaluation import elastic
+
+    model, variables = cli_mod.build_model('resnet18',
+                                           scale_down_exponent=4)
+    segmented = []
+    orig = elastic.ElasticFleet.segment
+
+    def spy(self, frames):
+        segmented.append(frames.shape[0])
+        return orig(self, frames)
+
+    monkeypatch.setattr(elastic.ElasticFleet, 'segment', spy)
+    cli_mod.warm_fleet(model, variables, 32, 48, capacity=3,
+                       bf16=False, int8=False, mean=DAVIS_MEAN_BGR)
+    assert segmented == [1, 2, 3]
