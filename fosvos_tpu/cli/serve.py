@@ -163,23 +163,34 @@ def main(parent, streams, network, n_epochs, avg_grad_every_n, augment,
         log.info('stream %s ended after %d frames; %d streams remain',
                  names[k], counts[k], len(slot_to_stream))
 
-    # serve loop: current frame of every live stream in one dispatch,
-    # then advance each; EOF retires the stream's slot (elastic — no
-    # recompile, the rest keep going)
+    # serve loop, double-buffered: dispatch step k async, then — while the
+    # device runs — write step k-1's masks to disk and decode step k+1's
+    # frames (EOF retires the stream's slot; elastic — no recompile, the
+    # rest keep going). Same overlap pattern as cli/run_webcam.py; on this
+    # one-core host the decode+imwrite time is fully hidden.
+    def _flush(pending) -> None:
+        writes, fut = pending
+        for (k, frame_no), m in zip(writes, np.asarray(fut)):
+            if out_dirs is not None:
+                cv2.imwrite(str(out_dirs[k] / f'{frame_no:05d}.png'), m)
+
     cur = list(first_frames)
     counts = [0] * len(videos)
+    pending = None
     n, total, t1 = 0, 0, time.perf_counter()
     while slot_to_stream and (max_frames is None or n < max_frames):
         order = [s for s in svc.active_slots if s in slot_to_stream]
-        masks = svc.segment(np.stack([cur[slot_to_stream[s]]
-                                      for s in order]))
-        for s, m in zip(order, masks):
+        fut = svc.segment_async(np.stack([cur[slot_to_stream[s]]
+                                          for s in order]))
+        writes = []
+        for s in order:
             k = slot_to_stream[s]
-            if out_dirs is not None:
-                cv2.imwrite(str(out_dirs[k] / f'{counts[k]:05d}.png'), m)
+            writes.append((k, counts[k]))
             counts[k] += 1
             total += 1
         n += 1
+        if pending is not None:     # overlapped with the in-flight dispatch
+            _flush(pending)
         for s in list(slot_to_stream):
             k = slot_to_stream[s]
             ok, frame = caps[k].read()
@@ -187,10 +198,13 @@ def main(parent, streams, network, n_epochs, avg_grad_every_n, augment,
                 cur[k] = frame
             else:
                 _retire(s)
+        pending = (writes, fut)
         if n % 10 == 0:
             fps = total / (time.perf_counter() - t1)
             log.info('serve: %d steps, %.1f frames/s aggregate, %d live '
                      'streams', n, fps, len(slot_to_stream))
+    if pending is not None:
+        _flush(pending)
     for s in list(slot_to_stream):   # --max-frames stop: still export
         _retire(s)
     dt = time.perf_counter() - t1

@@ -211,13 +211,11 @@ class ElasticFleet:
                          np.int32)
         return n, idx
 
-    def segment(self, frames: np.ndarray) -> np.ndarray:
-        """(n_active, H, W, 3) uint8 frames, aligned with
-        :attr:`active_slots`, to (n_active, H, W) uint8 sigmoid maps.
-
-        One on-device gather of the active slots into the current bucket's
-        stacked tree, one fleet dispatch; padding masks are dropped here.
-        """
+    def segment_async(self, frames: np.ndarray):
+        """Like :meth:`segment`, but returns the (n_active, H, W) uint8
+        masks as an *unfetched* device array (``np.asarray`` fences).
+        Membership may churn while the dispatch is in flight — the gather
+        snapshotted the active slots, so the result is unaffected."""
         if not self._active:
             raise ValueError('no active streams')
         frames = np.asarray(frames)
@@ -237,5 +235,14 @@ class ElasticFleet:
             self._server._qtree = self._gather(self._qslots, idx)
             self._server._calibrated_weights = \
                 self._server._weights_key(gathered)
-        masks = self._server.segment(gathered, frames)
+        masks = self._server.segment_async(gathered, frames)
         return masks[:n]
+
+    def segment(self, frames: np.ndarray) -> np.ndarray:
+        """(n_active, H, W, 3) uint8 frames, aligned with
+        :attr:`active_slots`, to (n_active, H, W) uint8 sigmoid maps.
+
+        One on-device gather of the active slots into the current bucket's
+        stacked tree, one fleet dispatch; padding masks are dropped here.
+        """
+        return np.asarray(self.segment_async(frames))

@@ -196,16 +196,23 @@ class FleetServer:
         self._qtree = stacked_q
         self._calibrated_weights = self._weights_key(stacked_variables)
 
-    def segment(self, stacked_variables, frames: np.ndarray) -> np.ndarray:
-        """(S, H, W, 3) uint8 BGR (or preprocessed float32) frames — one per
-        stream — to (S, H, W) uint8 sigmoid maps, one dispatch."""
+    def segment_async(self, stacked_variables, frames: np.ndarray):
+        """Enqueue one fleet dispatch and return the (S, H, W) uint8 mask
+        result as an *unfetched* device array — ``np.asarray`` on it fences.
+        Streaming callers use this to overlap host work (frame decode, mask
+        PNG writes) with the device step, the same double-buffer pattern as
+        ``cli/run_webcam.py``."""
         if self.int8:
             # re-quantize when the served weights change — stale int8
             # kernels would silently serve the previous fleet
             if (self._qtree is None or self._calibrated_weights
                     is not self._weights_key(stacked_variables)):
                 self.calibrate(stacked_variables, np.asarray(frames))
-            return np.asarray(self._forward_fleet_q(
-                stacked_variables, self._qtree, jnp.asarray(frames)))
-        return np.asarray(self._forward_fleet(stacked_variables,
-                                              jnp.asarray(frames)))
+            return self._forward_fleet_q(
+                stacked_variables, self._qtree, jnp.asarray(frames))
+        return self._forward_fleet(stacked_variables, jnp.asarray(frames))
+
+    def segment(self, stacked_variables, frames: np.ndarray) -> np.ndarray:
+        """(S, H, W, 3) uint8 BGR (or preprocessed float32) frames — one per
+        stream — to (S, H, W) uint8 sigmoid maps, one dispatch."""
+        return np.asarray(self.segment_async(stacked_variables, frames))

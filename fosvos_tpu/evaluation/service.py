@@ -325,3 +325,12 @@ class VOSService:
         """(n_active, H, W, 3) uint8 frames (order = :attr:`active_slots`)
         -> (n_active, H, W) uint8 sigmoid maps, one fleet dispatch."""
         return self._fleet.segment(frames)
+
+    def segment_async(self, frames: np.ndarray):
+        """:meth:`segment` without the readback fence: returns the masks
+        as a device array so a streaming loop can overlap the next frames'
+        decode and the previous masks' disk writes with the device step
+        (``np.asarray`` on the result fences). Joins/leaves issued while
+        the dispatch is in flight do not affect it — the fleet gather
+        snapshotted the membership."""
+        return self._fleet.segment_async(frames)

@@ -391,6 +391,30 @@ def test_elastic_fleet_membership_parity_bounded_programs(db):
     assert ef._server._forward_fleet._cache_size() <= 3
 
 
+def test_elastic_segment_async_parity_and_churn(db):
+    """segment_async returns an unfetched device array bit-equal to the
+    synchronous path, and membership churn issued while the dispatch is in
+    flight does not corrupt it (the gather snapshotted the active slots) —
+    the invariant cli/serve.py's double-buffered loop relies on."""
+    from fosvos_tpu.evaluation import elastic
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(3)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+
+    ef = elastic.ElasticFleet(model, capacity=4)
+    assert ef.add(var_list[0]) == 0 and ef.add(var_list[1]) == 1
+    want = ef.segment(imgs[:2])
+    fut = ef.segment_async(imgs[:2])
+    assert not isinstance(fut, np.ndarray)      # device array, not fetched
+    ef.remove(1)                                # churn while in flight
+    ef.add(var_list[2])
+    np.testing.assert_array_equal(np.asarray(fut), want)
+
+
 def test_elastic_fleet_int8_parity(db):
     """int8 ElasticFleet: each joining stream calibrates against its own
     weights/frame and serves exactly like its own int8 InferenceEngine;
