@@ -125,7 +125,23 @@ def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
         log.info('mixed-arch fleet: %d topology groups %s',
                  len(groups), [len(i) for i in groups])
 
-    n, t0 = 0, time.perf_counter()
+    # serve loop, double-buffered (the run_webcam/serve pattern): dispatch
+    # step n async, then — while the device runs — fence + write step n-1's
+    # masks and decode step n+1's frames. Depth is exactly one step: _flush
+    # always fences, so the host never runs ahead of the device queue.
+    def _flush(pending) -> None:
+        step_no, futs = pending
+        fetched = [np.asarray(f) for f in futs]
+        if out_dirs is None:
+            return
+        masks = [None] * len(caps)
+        for group_masks, idx in zip(fetched, groups):
+            for k, m in zip(idx, group_masks):
+                masks[k] = m
+        for d, m in zip(out_dirs, masks):
+            cv2.imwrite(str(d / f'{step_no:05d}.png'), m)
+
+    n, pending, t0 = 0, None, time.perf_counter()
     while max_frames is None or n < max_frames:
         frames = []
         for c in caps:
@@ -139,20 +155,19 @@ def main(streams, network, output_dir, bf16, int8, use_mesh, max_frames,
             frames.append(frame)
         if frames is None:
             break
-        masks = [None] * len(caps)
-        for server, stacked, idx in zip(servers, stackeds, groups):
-            group_masks = server.segment(
-                stacked, np.stack([frames[k] for k in idx]))
-            for k, m in zip(idx, group_masks):
-                masks[k] = m
-        if out_dirs is not None:
-            for d, m in zip(out_dirs, masks):
-                cv2.imwrite(str(d / f'{n:05d}.png'), m)
+        futs = [server.segment_async(stacked,
+                                     np.stack([frames[k] for k in idx]))
+                for server, stacked, idx in zip(servers, stackeds, groups)]
+        if pending is not None:    # overlapped with the in-flight dispatch
+            _flush(pending)
+        pending = (n, futs)
         n += 1
         if n % 10 == 0:
             fps = n * len(caps) / (time.perf_counter() - t0)
             log.info('fleet: %d steps, %.1f frames/s aggregate over %d '
                      'streams', n, fps, len(caps))
+    if pending is not None:
+        _flush(pending)
     dt = time.perf_counter() - t0
     log.info('fleet done: %d steps x %d streams in %.2fs (%.1f frames/s '
              'aggregate)', n, len(caps), dt, n * len(caps) / max(dt, 1e-9))
@@ -195,24 +210,40 @@ def _serve_elastic(caps, names, out_dirs, var_list, group_order, groups,
             slot_to_stream[slot] = k
         fleets.append((ef, slot_to_stream))
 
+    # double-buffered like the static loop: dispatch every group's step n
+    # async, flush step n-1's masks and decode step n+1's frames while the
+    # device runs. EOF churn issued mid-flight is safe — each group's
+    # on-device gather snapshotted its active slots (parity-tested in
+    # tests/test_evaluation.py).
+    def _flush(pending) -> None:
+        for writes, fut in pending:
+            fetched = np.asarray(fut)
+            if out_dirs is None:
+                continue
+            for (k, frame_no), m in zip(writes, fetched):
+                cv2.imwrite(str(out_dirs[k] / f'{frame_no:05d}.png'), m)
+
     counts = [0] * len(caps)
-    n, total, t0 = 0, 0, time.perf_counter()
+    n, total, pending, t0 = 0, 0, None, time.perf_counter()
     while (any(s for _, s in fleets)
            and (max_frames is None or n < max_frames)):
+        batch = []
         for ef, slot_to_stream in fleets:
             if not slot_to_stream:
                 continue
             order = ef.active_slots
-            masks = ef.segment(
+            fut = ef.segment_async(
                 np.stack([cur[slot_to_stream[s]] for s in order]))
-            for s, m in zip(order, masks):
+            writes = []
+            for s in order:
                 k = slot_to_stream[s]
-                if out_dirs is not None:
-                    cv2.imwrite(str(out_dirs[k] / f'{counts[k]:05d}.png'),
-                                m)
+                writes.append((k, counts[k]))
                 counts[k] += 1
                 total += 1
+            batch.append((writes, fut))
         n += 1
+        if pending is not None:    # overlapped with the in-flight dispatch
+            _flush(pending)
         # advance each live stream; EOF -> the stream leaves its fleet
         for ef, slot_to_stream in fleets:
             for s in list(slot_to_stream):
@@ -226,11 +257,14 @@ def _serve_elastic(caps, names, out_dirs, var_list, group_order, groups,
                     log.info('stream %s ended after %d frames; %d streams '
                              'remain', names[k], counts[k],
                              sum(len(s2) for _, s2 in fleets))
+        pending = batch
         if n % 10 == 0:
             fps = total / (time.perf_counter() - t0)
             log.info('elastic fleet: %d steps, %.1f frames/s aggregate, '
                      '%d live streams', n, fps,
                      sum(len(s2) for _, s2 in fleets))
+    if pending is not None:
+        _flush(pending)
     dt = time.perf_counter() - t0
     log.info('elastic fleet done: %d frames over %d streams in %.2fs '
              '(%.1f frames/s aggregate)', total, len(caps), dt,
