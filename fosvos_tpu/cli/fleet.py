@@ -1,5 +1,7 @@
 """Fleet serving CLI: segment many video streams, each with its own
-adapted model, in one vmapped dispatch per step.
+adapted model, in one compiled dispatch per step (an unrolled scan over
+the stacked params — vmap was measured and rejected, see
+``evaluation/fleet.py``).
 
 The reference's multi-stream story is one process per stream
 (``run_webcam.py`` + manual job sharding); here the whole fleet is ONE

@@ -99,13 +99,28 @@ class ElasticFleet:
         def gather(stacked, idx):
             return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), stacked)
 
+        def tile(variables):
+            # capacity-tree allocation from ONE device-resident copy: the
+            # broadcast happens in HBM, so the first add() uploads one
+            # stream's weights, not `capacity` host copies of them
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None],
+                                           (capacity,) + a.shape), variables)
+
         self._set_slot = set_slot
         # the fleet program requires 'seq'-sharded inputs; pin the gathered
         # bucket tree's sharding (jnp.take would otherwise replicate it)
         sharding = self._server._stream_sharding
-        self._gather = jax.jit(
-            gather, **({'out_shardings': sharding} if sharding is not None
-                       else {}))
+        shard_kw = ({'out_shardings': sharding} if sharding is not None
+                    else {})
+        self._gather = jax.jit(gather, **shard_kw)
+        self._tile = jax.jit(tile, **shard_kw)
+        # steady-state serve cache: the gathered bucket trees are reused
+        # until membership (or a slot's weights) changes — without it every
+        # frame re-copies the full active weight set inside HBM
+        self._cache_idx = None
+        self._cache_gathered = None
+        self._cache_qgathered = None
 
     # -- membership -------------------------------------------------------
 
@@ -114,6 +129,18 @@ class ElasticFleet:
         """Slot ids in serving order — ``segment``'s frames and returned
         masks align with this tuple."""
         return tuple(self._active)
+
+    @property
+    def free_slots(self) -> int:
+        """Slots available for :meth:`add` right now."""
+        if self._slots is None:
+            return self.capacity
+        return len(self._free)
+
+    def _invalidate_serve_cache(self) -> None:
+        self._cache_idx = None
+        self._cache_gathered = None
+        self._cache_qgathered = None
 
     def add(self, variables, calib_frame: Optional[np.ndarray] = None,
             qparams=None) -> int:
@@ -132,9 +159,8 @@ class ElasticFleet:
                              'or add(..., qparams=) is required for a '
                              'joining stream')
         if self._slots is None:
-            # first stream: allocate the capacity tree by broadcasting it
-            self._slots = self._server.put_weights(
-                [variables] * self.capacity)
+            # first stream: upload ONE copy, broadcast to capacity in HBM
+            self._slots = self._tile(jax.tree.map(jnp.asarray, variables))
             self._active = [0]
             self._free = list(range(1, self.capacity))
             k = 0
@@ -148,6 +174,7 @@ class ElasticFleet:
             self._active.append(k)
         if self._int8:
             self._install_qslot(k, variables, calib_frame, qparams)
+        self._invalidate_serve_cache()
         return k
 
     def get_weights(self, slot: int):
@@ -162,6 +189,7 @@ class ElasticFleet:
         :meth:`add`. Nothing device-side happens."""
         self._active.remove(slot)
         self._free.insert(0, slot)  # freed slots are recycled first
+        self._invalidate_serve_cache()
 
     def swap_weights(self, slot: int, variables,
                      calib_frame: Optional[np.ndarray] = None,
@@ -178,6 +206,7 @@ class ElasticFleet:
                                      jax.tree.map(jnp.asarray, variables))
         if self._int8:
             self._install_qslot(slot, variables, calib_frame, qparams)
+        self._invalidate_serve_cache()
 
     def _install_qslot(self, k: int, variables, calib_frame,
                        qparams=None) -> None:
@@ -185,20 +214,10 @@ class ElasticFleet:
             qtree = qparams.tree() if hasattr(qparams, 'tree') \
                 else dict(qparams)
         else:
-            from fosvos_tpu.compress import quantize
-            from fosvos_tpu.evaluation.experiment import device_preprocess
-            qp = quantize.build_qparams(
-                self._server.model, variables,
-                [np.asarray(calib_frame)[None]],
-                preprocess=lambda x: device_preprocess(x, self._server.mean))
-            qtree = qp.tree()
+            qtree = self._server.stream_qparams(variables, calib_frame).tree()
         qtree = jax.tree.map(jnp.asarray, qtree)
         if self._qslots is None:
-            self._qslots = jax.tree.map(
-                lambda a: jnp.stack([a] * self.capacity), qtree)
-            if self._server._stream_sharding is not None:
-                self._qslots = jax.device_put(self._qslots,
-                                              self._server._stream_sharding)
+            self._qslots = self._tile(qtree)
         else:
             self._qslots = self._set_slot(self._qslots, k, qtree)
 
@@ -227,12 +246,18 @@ class ElasticFleet:
         pad = idx.shape[0] - n
         if pad:
             frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)], 0)
-        idx = jnp.asarray(idx)
-        gathered = self._gather(self._slots, idx)
+        key = tuple(int(i) for i in idx)
+        if key != self._cache_idx:   # membership/weights changed: re-gather
+            jidx = jnp.asarray(idx)
+            self._cache_gathered = self._gather(self._slots, jidx)
+            if self._int8:
+                self._cache_qgathered = self._gather(self._qslots, jidx)
+            self._cache_idx = key
+        gathered = self._cache_gathered
         if self._int8:
             # the per-slot qtrees were calibrated at add/swap time, so the
             # FleetServer must not re-calibrate against the gathered view
-            self._server._qtree = self._gather(self._qslots, idx)
+            self._server._qtree = self._cache_qgathered
             self._server._calibrated_weights = \
                 self._server._weights_key(gathered)
         masks = self._server.segment_async(gathered, frames)
@@ -243,6 +268,7 @@ class ElasticFleet:
         :attr:`active_slots`, to (n_active, H, W) uint8 sigmoid maps.
 
         One on-device gather of the active slots into the current bucket's
-        stacked tree, one fleet dispatch; padding masks are dropped here.
+        stacked tree (cached across steps until membership or a slot's
+        weights change), one fleet dispatch; padding masks are dropped here.
         """
         return np.asarray(self.segment_async(frames))

@@ -184,15 +184,22 @@ class InferenceEngine:
 
     @staticmethod
     def _weights_key(variables):
-        """Identity of the served weights: the ``params`` subtree when
-        present (providers typically reassign it on a weight update while
-        reusing the outer variables dict), else the whole tree. Callers that
-        mutate dicts *below* ``params`` in place must call :meth:`calibrate`
-        explicitly — identity cannot see arbitrarily deep rebinds."""
-        try:
-            return variables['params']
-        except (TypeError, KeyError):
-            return variables
+        """Identity snapshot of the served weights: the tuple of leaf
+        buffers. Two trees serve the same weights iff every leaf is the
+        same object — comparing leaves (not subtree dicts) is robust to
+        mapping wrappers like flax ``FrozenDict``, whose ``__getitem__``
+        rebuilds subtree objects on every access (a ``params``-subtree
+        identity check would see a "new" tree per call and silently
+        re-calibrate every serve step)."""
+        return tuple(jax.tree_util.tree_leaves(variables))
+
+    def _weights_stale(self, variables) -> bool:
+        key = self._calibrated_weights
+        if key is None:
+            return True
+        new = self._weights_key(variables)
+        return len(key) != len(new) or any(
+            a is not b for a, b in zip(key, new))
 
     def calibrate(self, variables, frames: np.ndarray) -> None:
         """Build int8 scales/kernels from representative frames (uint8 raw
@@ -231,9 +238,7 @@ class InferenceEngine:
             # re-quantize when the weights change (a shared engine serves a
             # different adapted model per sequence in the online sweep) —
             # stale int8 kernels would silently serve the previous model
-            if (self._qtree is None
-                    or self._calibrated_weights
-                    is not self._weights_key(variables)):
+            if self._qtree is None or self._weights_stale(variables):
                 self.calibrate(variables, np.asarray(images))
             return self._forward_masks_q(variables, self._qtree, images)
         return self._forward_masks_float(variables, images)

@@ -166,19 +166,34 @@ class FleetServer:
 
     @staticmethod
     def _weights_key(stacked_variables):
-        """Identity of the served weights (``InferenceEngine._weights_key``
-        contract): the ``params`` subtree when present, else the whole
-        tree."""
-        try:
-            return stacked_variables['params']
-        except (TypeError, KeyError):
-            return stacked_variables
+        """Identity snapshot of the served weights: the tuple of leaf
+        buffers. Two trees serve the same weights iff every leaf is the
+        same object — comparing leaves (not subtree dicts) is robust to
+        mapping wrappers like flax ``FrozenDict``, whose ``__getitem__``
+        rebuilds subtree objects on every access."""
+        return tuple(jax.tree_util.tree_leaves(stacked_variables))
+
+    def _weights_stale(self, stacked_variables) -> bool:
+        key = self._calibrated_weights
+        if key is None:
+            return True
+        new = self._weights_key(stacked_variables)
+        return len(key) != len(new) or any(
+            a is not b for a, b in zip(key, new))
+
+    def stream_qparams(self, variables, frame: np.ndarray):
+        """Calibrate ONE stream's int8 params against its own weights on
+        one (H, W, 3) frame (shared by :meth:`calibrate` and the elastic
+        fleet's per-slot installs)."""
+        from fosvos_tpu.compress import quantize
+        return quantize.build_qparams(
+            self.model, variables, [np.asarray(frame)[None]],
+            preprocess=lambda x: device_preprocess(x, self.mean))
 
     def calibrate(self, stacked_variables, frames: np.ndarray) -> None:
         """Build per-stream int8 scales/kernels: stream k calibrates on
         ``frames[k]`` against its own weights, then the S quantized trees
         stack over the stream axis like the float params."""
-        from fosvos_tpu.compress import quantize
         if not self.int8:
             raise ValueError('fleet server was not built with int8=True')
         frames = np.asarray(frames)
@@ -186,10 +201,7 @@ class FleetServer:
         qtrees = []
         for k in range(n):
             vars_k = jax.tree.map(lambda a: a[k], stacked_variables)
-            qp = quantize.build_qparams(
-                self.model, vars_k, [frames[k][None]],
-                preprocess=lambda x: device_preprocess(x, self.mean))
-            qtrees.append(qp.tree())
+            qtrees.append(self.stream_qparams(vars_k, frames[k]).tree())
         stacked_q = jax.tree.map(lambda *xs: jnp.stack(xs), *qtrees)
         if self._stream_sharding is not None:
             stacked_q = jax.device_put(stacked_q, self._stream_sharding)
@@ -205,8 +217,7 @@ class FleetServer:
         if self.int8:
             # re-quantize when the served weights change — stale int8
             # kernels would silently serve the previous fleet
-            if (self._qtree is None or self._calibrated_weights
-                    is not self._weights_key(stacked_variables)):
+            if self._qtree is None or self._weights_stale(stacked_variables):
                 self.calibrate(stacked_variables, np.asarray(frames))
             return self._forward_fleet_q(
                 stacked_variables, self._qtree, jnp.asarray(frames))

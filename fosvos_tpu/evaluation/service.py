@@ -34,7 +34,10 @@ import numpy as np
 
 from fosvos_tpu.data.davis import DAVIS_MEAN_BGR
 from fosvos_tpu.evaluation.elastic import ElasticFleet
+from fosvos_tpu.runtime.logging import get_logger
 from fosvos_tpu.train import online, optimizers
+
+log = get_logger(__name__)
 
 
 class VOSService:
@@ -120,8 +123,19 @@ class VOSService:
     @staticmethod
     def _normalize_mask(mask: np.ndarray) -> np.ndarray:
         mask = np.asarray(mask, np.float32)
-        if mask.max() > 0:           # 0/255 uint8 or {0,1} -> [0,1]
-            mask = mask / mask.max()
+        peak = mask.max()
+        if peak > 0:                 # 0/255 uint8 or {0,1} -> [0,1]
+            mask = mask / peak
+            if np.unique(mask).size > 2:
+                # e.g. a DAVIS-2017 multi-object id PNG: after the
+                # reference's gt/max contract (davis_2016.py:131-132) every
+                # value >= peak/2 trains as foreground — almost never what
+                # a multi-object annotation means
+                log.warning(
+                    'first mask is not binary (%d distinct values); values '
+                    '>= %.1f will train as foreground — pass a single-'
+                    'object 0/255 mask if that is not intended',
+                    np.unique(mask).size, peak / 2)
         return mask
 
     def _ensure_qat(self, frame: np.ndarray) -> None:
@@ -169,6 +183,9 @@ class VOSService:
           first_mask: (H, W) object mask (bool / 0-255 uint8 / [0,1]).
         Returns (slot id, adaptation result — losses + wall time).
         """
+        if self._fleet.free_slots < 1:   # fail BEFORE the adaptation runs
+            raise ValueError(
+                f'service is at capacity ({self._fleet.capacity} streams)')
         variables, res = self._adapt(first_frame, first_mask, n_epochs,
                                      seed)
         qp = self._slot_qparams(variables)
@@ -213,10 +230,16 @@ class VOSService:
         K = frames.shape[0]
         if K == 0:
             return [], []
+        if K > self._fleet.free_slots:   # fail BEFORE the adaptations run
+            raise ValueError(
+                f'{K} joining streams but only {self._fleet.free_slots} '
+                f'free slots (capacity {self._fleet.capacity})')
         mesh = mesh or self._fanout_mesh
         if mesh is None and jax.device_count() > 1:
             from fosvos_tpu.parallel import make_mesh
-            mesh = make_mesh(('seq',))
+            # cache the auto-built mesh: a fresh Mesh object per call would
+            # fail the `is` check below and rebuild (re-compile) the fan-out
+            mesh = self._fanout_mesh = make_mesh(('seq',))
         if mesh is None or mesh.size == 1 or K == 1:
             slots, results = [], []
             for k in range(K):

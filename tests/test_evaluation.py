@@ -676,3 +676,102 @@ def test_vos_service_adapt_bf16(db):
         assert np.asarray(leaf).dtype == np.float32
     out = svc.segment(frames[:1])
     assert out.shape == (1, 32, 48) and out.dtype == np.uint8
+
+
+def test_elastic_serve_cache_reused_and_invalidated(db):
+    """Steady-state serving reuses the gathered bucket trees (no per-frame
+    HBM re-gather); any membership or weight change invalidates the cache
+    and the next masks are correct."""
+    from fosvos_tpu.evaluation import elastic
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(3)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+
+    ef = elastic.ElasticFleet(model, capacity=4)
+    ef.add(var_list[0])
+    ef.add(var_list[1])
+    m1 = ef.segment(imgs[:2])
+    cached = ef._cache_gathered
+    assert cached is not None
+    m2 = ef.segment(imgs[2:4])
+    assert ef._cache_gathered is cached          # steady state: no re-gather
+    assert m1.shape == m2.shape
+
+    ef.swap_weights(1, var_list[2])              # weights changed: refresh
+    assert ef._cache_gathered is None
+    m3 = ef.segment(imgs[:2])
+    engine = experiment.InferenceEngine(model, 1)
+    np.testing.assert_array_equal(
+        m3[1], engine.masks_for_sequence(var_list[2], imgs[1:2])[0])
+
+    ef.remove(0)                                 # membership changed
+    assert ef._cache_gathered is None
+    m4 = ef.segment(imgs[:1])
+    np.testing.assert_array_equal(
+        m4[0], engine.masks_for_sequence(var_list[2], imgs[0:1])[0])
+
+
+def test_int8_engine_frozendict_no_percall_recalibration(db, monkeypatch):
+    """FrozenDict-wrapped variables must not defeat the weights-identity
+    check: serving the same weights twice calibrates exactly once (a
+    ``params``-subtree identity key would see a fresh wrapper per access
+    and silently recalibrate every step)."""
+    import flax
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    variables = flax.core.freeze(
+        model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 32, 48, 3), jnp.float32), train=False))
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+
+    engine = experiment.InferenceEngine(model, 1, int8=True)
+    calls = []
+    real = experiment.InferenceEngine.calibrate
+    monkeypatch.setattr(
+        experiment.InferenceEngine, 'calibrate',
+        lambda self, *a, **kw: (calls.append(1), real(self, *a, **kw))[1])
+    m1 = engine.masks_for_sequence(variables, imgs[:1])
+    m2 = engine.masks_for_sequence(variables, imgs[1:2])
+    assert len(calls) == 1
+    assert m1.shape == m2.shape
+
+    # a genuinely different tree still triggers recalibration
+    other = flax.core.freeze(
+        model.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, 32, 48, 3), jnp.float32), train=False))
+    engine.masks_for_sequence(other, imgs[:1])
+    assert len(calls) == 2
+
+
+def test_vos_service_capacity_prechecked_before_adaptation(db, monkeypatch):
+    """join/join_many at capacity fail fast — BEFORE spending minutes on
+    the one-shot adaptation(s)."""
+    from fosvos_tpu.evaluation import service
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    parent = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tr = davis.DAVIS2016(mode='train', db_root_dir=db, seq_name='synth-swan')
+    _, gt0 = tr.make_img_gt_pair(0)
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    frames, _, _ = ds.load_sequence(raw=True)
+
+    svc = service.VOSService(model, parent, capacity=1, n_epochs=2,
+                             avg_grad_every_n=2, mean=ds.meanval,
+                             augment=False)
+    svc.join(frames[0], gt0, seed=0)
+
+    def boom(*a, **kw):
+        raise AssertionError('adaptation ran despite a full fleet')
+
+    monkeypatch.setattr(svc, '_adapt', boom)
+    with pytest.raises(ValueError, match='capacity'):
+        svc.join(frames[1], gt0)
+    with pytest.raises(ValueError, match='free slots'):
+        svc.join_many(np.stack([frames[1], frames[2]]),
+                      np.stack([gt0, gt0]))
