@@ -66,10 +66,20 @@ class ElasticFleet:
         mesh, ``capacity`` must be a multiple of the ``'seq'`` axis size
         and buckets are ``seq``-axis multiples instead of raw powers of
         two.
+      serve_cache: keep the gathered bucket-sized weight tree (and int8
+        qtree) resident in HBM between frames, re-gathering only when
+        membership or a slot's weights change (default). **HBM cost:** the
+        cache holds a second, bucket-sized copy of the active weights
+        alongside the capacity slot tree — roughly doubling steady-state
+        weight residency (e.g. a 16-slot resnet18 fleet: ~0.9 GB slots +
+        up to ~0.9 GB cache in fp32). Memory-tight deployments can pass
+        ``serve_cache=False`` to re-gather per frame instead (one extra
+        on-device copy per dispatch, no retained duplicate).
     """
 
     def __init__(self, model, capacity: int, bf16: bool = False,
-                 int8: bool = False, mesh=None, mean=DAVIS_MEAN_BGR):
+                 int8: bool = False, mesh=None, mean=DAVIS_MEAN_BGR,
+                 serve_cache: bool = True):
         if capacity < 1:
             raise ValueError('capacity must be >= 1')
         quantum = 1
@@ -117,7 +127,10 @@ class ElasticFleet:
         self._tile = jax.jit(tile, **shard_kw)
         # steady-state serve cache: the gathered bucket trees are reused
         # until membership (or a slot's weights) changes — without it every
-        # frame re-copies the full active weight set inside HBM
+        # frame re-copies the full active weight set inside HBM. Costs a
+        # retained bucket-sized weight copy; serve_cache=False trades that
+        # HBM for a per-frame gather (see class docstring).
+        self._serve_cache = serve_cache
         self._cache_idx = None
         self._cache_gathered = None
         self._cache_qgathered = None
@@ -252,12 +265,15 @@ class ElasticFleet:
             self._cache_gathered = self._gather(self._slots, jidx)
             if self._int8:
                 self._cache_qgathered = self._gather(self._qslots, jidx)
-            self._cache_idx = key
+            self._cache_idx = key if self._serve_cache else None
         gathered = self._cache_gathered
+        qgathered = self._cache_qgathered
+        if not self._serve_cache:    # memory-tight mode: nothing retained
+            self._cache_gathered = self._cache_qgathered = None
         if self._int8:
             # the per-slot qtrees were calibrated at add/swap time, so the
             # FleetServer must not re-calibrate against the gathered view
-            self._server._qtree = self._cache_qgathered
+            self._server._qtree = qgathered
             self._server._calibrated_weights = \
                 self._server._weights_key(gathered)
         masks = self._server.segment_async(gathered, frames)

@@ -104,11 +104,22 @@ class SequenceStats:
 
 
 def db_statistics(per_frame: np.ndarray) -> SequenceStats:
-    """DAVIS per-sequence statistics (toolkit ``db_statistics`` semantics)."""
+    """DAVIS per-sequence statistics (toolkit ``db_statistics`` semantics).
+
+    The protocol's first/last-frame exclusion is applied exactly ONCE, by
+    the caller (:func:`evaluate_sequence` trims before computing per-frame
+    values); this function treats every element of ``per_frame`` as an
+    evaluated frame. The toolkit's ``db_statistics`` receives the *full*
+    array and trims in-function (``per_frame_values[1:-1]`` for recall and
+    the decay bins) — either way each statistic sees frames ``1..N-2``
+    exactly once, so the numbers are comparable to toolkit YAMLs.
+    (An earlier revision re-trimmed here on top of the caller's trim — an
+    off-by-two on recall for short sequences; pinned by a hand-computed
+    example in ``tests/test_evaluation.py``.)
+    """
     v = np.asarray(per_frame, np.float64)
     M = float(np.nanmean(v))
-    core = v[1:-1] if len(v) > 2 else v
-    O = float(np.nanmean(core > 0.5))
+    O = float(np.nanmean(v > 0.5))
     n_bins = 4
     ids = np.round(np.linspace(1, len(v), n_bins + 1) + 1e-10) - 1
     ids = ids.astype(int)

@@ -122,20 +122,26 @@ class VOSService:
 
     @staticmethod
     def _normalize_mask(mask: np.ndarray) -> np.ndarray:
-        mask = np.asarray(mask, np.float32)
+        raw = np.asarray(mask)
+        mask = raw.astype(np.float32)
         peak = mask.max()
         if peak > 0:                 # 0/255 uint8 or {0,1} -> [0,1]
             mask = mask / peak
-            if np.unique(mask).size > 2:
-                # e.g. a DAVIS-2017 multi-object id PNG: after the
-                # reference's gt/max contract (davis_2016.py:131-132) every
-                # value >= peak/2 trains as foreground — almost never what
-                # a multi-object annotation means
-                log.warning(
-                    'first mask is not binary (%d distinct values); values '
-                    '>= %.1f will train as foreground — pass a single-'
-                    'object 0/255 mask if that is not intended',
-                    np.unique(mask).size, peak / 2)
+            # warn only when the raw values look like an object-ID PNG
+            # (integer-valued with >2 distinct levels, e.g. DAVIS-2017
+            # multi-object annotations): after the reference's gt/max
+            # contract (davis_2016.py:131-132) every value >= peak/2 trains
+            # as foreground — almost never what a multi-object annotation
+            # means. Soft/antialiased float masks in [0,1] are a documented
+            # join() input and stay silent.
+            if np.issubdtype(raw.dtype, np.integer):
+                u = np.unique(raw)
+                if u.size > 2:
+                    log.warning(
+                        'first mask looks like an object-ID map (%d distinct '
+                        'integer values); values >= %.1f will train as '
+                        'foreground — pass a single-object 0/255 mask if '
+                        'that is not intended', u.size, peak / 2)
         return mask
 
     def _ensure_qat(self, frame: np.ndarray) -> None:

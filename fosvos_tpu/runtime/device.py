@@ -51,7 +51,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Persistent XLA compilation cache: fresh processes skip recompiles
     (multi-minute for 480p graphs on slow-compile backends). Keyed on the
     HLO, so stale entries are impossible. Opt out with FOSVOS_XLA_CACHE=0,
-    or point FOSVOS_XLA_CACHE (or ``path``) at a directory."""
+    or point FOSVOS_XLA_CACHE (or ``path``) at a directory.
+
+    Safe to call after compiles have already happened: jax initializes its
+    persistent-cache singleton at most once per process, so a bare
+    ``jax.config.update('jax_compilation_cache_dir', ...)`` after the first
+    compile is a silent no-op (the process keeps writing to the *old* dir).
+    When re-pointing to a different directory this resets that singleton so
+    the new location actually takes effect — ``fosvos-warmup --cache-dir``
+    depends on this."""
     import os
     setting = os.environ.get('FOSVOS_XLA_CACHE', '')
     if setting == '0':
@@ -60,12 +68,29 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         os.path.expanduser('~'), '.cache', 'fosvos_tpu', 'xla-cache')
     try:
         os.makedirs(path, exist_ok=True)
+        _repoint_persistent_cache(path)
         jax.config.update('jax_compilation_cache_dir', path)
         # cache every program regardless of compile time or size
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     except (OSError, AttributeError):
         pass  # the cache is an optimization; never block on it
+
+
+def _repoint_persistent_cache(path: str) -> None:
+    """Reset jax's once-per-process persistent-cache singleton when the
+    target directory changes, so the next compile re-initializes it at
+    ``path``. Best-effort: touches a private module, degrades to the old
+    (first-dir-wins) behavior if jax internals move."""
+    try:
+        from jax._src import compilation_cache as _cc
+        current = jax.config.jax_compilation_cache_dir
+        if getattr(_cc, '_cache_initialized', False) and current != path:
+            _cc.reset_cache()
+            log.info('re-pointed persistent XLA cache %s -> %s',
+                     current, path)
+    except Exception:  # pragma: no cover - jax-internal layout changed
+        pass
 
 
 def enable_nan_debugging(enabled: bool = True) -> None:

@@ -89,6 +89,44 @@ def test_db_statistics_decay():
     assert st2.recall == 1.0
 
 
+def test_db_statistics_matches_toolkit_on_six_frames():
+    """Hand-computed 6-frame example against the fperazzi/davis-2017
+    toolkit's ``db_statistics`` formula. The toolkit receives the FULL
+    per-frame array and trims first/last in-function (recall =
+    ``nanmean(v[1:-1] > 0.5)``, decay bins over ``v[1:-1]``); our
+    ``evaluate_sequence`` trims before computing per-frame values and
+    ``db_statistics`` must NOT re-trim — the exclusion applies exactly once
+    (a re-trim here was an off-by-two on recall for short sequences)."""
+    full = np.array([1.0, 0.9, 0.2, 0.3, 0.8, 0.0])  # frames 0..5
+    core = full[1:-1]                                 # protocol-evaluated
+
+    # toolkit formula, computed by hand on `full`:
+    #   recall = mean([0.9, 0.2, 0.3, 0.8] > 0.5) = 0.5
+    #   decay:  ids = round(linspace(1,4,5)+1e-10)-1 = [0,1,2,2,3]
+    #           bins = [[.9,.2], [.2,.3], [.3], [.3,.8]]
+    #           D = mean([.9,.2]) - mean([.3,.8]) = 0.55 - 0.55 = 0.0
+    st = metrics.db_statistics(core)
+    assert st.mean == pytest.approx(np.mean(core))
+    assert st.recall == pytest.approx(0.5)
+    assert st.decay == pytest.approx(0.0)
+
+    # the buggy double-trim would have given recall = mean([0.2,0.3]>0.5)=0
+    assert st.recall != pytest.approx(np.mean(core[1:-1] > 0.5))
+
+    # and via the public entry point: per-frame J engineered to `full`
+    # (frame i: intersection k of 10 GT rows -> J = k/10)
+    ann = [np.zeros((20, 20), bool) for _ in range(6)]
+    seg = [np.zeros((20, 20), bool) for _ in range(6)]
+    for i, j_val in enumerate(full):
+        ann[i][5:15, 5:15] = True
+        seg[i][5:5 + int(round(j_val * 10)), 5:15] = True
+    ev = metrics.evaluate_sequence(ann, seg)
+    assert ev.j.per_frame == pytest.approx(core)
+    assert ev.j.recall == pytest.approx(0.5)
+    assert ev.j.decay == pytest.approx(0.0)
+    assert ev.j.mean == pytest.approx(np.mean(core))  # J mean unchanged
+
+
 def test_evaluate_sequence_and_dataset():
     ann = [np.zeros((20, 20), bool) for _ in range(5)]
     seg = [np.zeros((20, 20), bool) for _ in range(5)]
@@ -389,6 +427,60 @@ def test_elastic_fleet_membership_parity_bounded_programs(db):
 
     # the whole churn above compiled at most one program per bucket {1,2,4}
     assert ef._server._forward_fleet._cache_size() <= 3
+
+
+def test_service_mask_warning_only_for_id_maps(caplog):
+    """join()'s mask normalization warns for object-ID-looking masks
+    (integer, >2 distinct values) but stays silent for the documented
+    soft/antialiased float [0,1] masks (ADVICE r3)."""
+    import logging
+    from fosvos_tpu.evaluation.service import VOSService
+
+    ids = np.zeros((8, 8), np.uint8)
+    ids[:2] = 1
+    ids[2:4] = 2
+    soft = np.linspace(0.0, 1.0, 64, dtype=np.float32).reshape(8, 8)
+    binary = (ids > 0).astype(np.uint8) * 255
+
+    with caplog.at_level(logging.WARNING):
+        out = VOSService._normalize_mask(ids)
+        assert any('object-ID' in r.message for r in caplog.records)
+    assert out.max() == 1.0
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        out_soft = VOSService._normalize_mask(soft)
+        out_bin = VOSService._normalize_mask(binary)
+        assert not caplog.records
+    assert out_soft.max() == 1.0 and set(np.unique(out_bin)) == {0.0, 1.0}
+
+
+def test_elastic_serve_cache_off_parity(db):
+    """serve_cache=False (memory-tight mode, ADVICE r3): bit-identical
+    masks, and no gathered bucket tree retained between frames — the HBM
+    cost documented on the class is actually released."""
+    from fosvos_tpu.evaluation import elastic
+
+    model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=4))
+    x = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    var_list = [model.init(jax.random.PRNGKey(k), x, train=False)
+                for k in range(2)]
+    ds = davis.DAVIS2016(mode='test', db_root_dir=db, seq_name='synth-swan')
+    imgs, _, _ = ds.load_sequence(raw=True)
+
+    cached = elastic.ElasticFleet(model, capacity=4)
+    uncached = elastic.ElasticFleet(model, capacity=4, serve_cache=False)
+    for ef in (cached, uncached):
+        ef.add(var_list[0])
+        ef.add(var_list[1])
+    np.testing.assert_array_equal(cached.segment(imgs[:2]),
+                                  uncached.segment(imgs[:2]))
+    assert cached._cache_gathered is not None
+    assert uncached._cache_gathered is None
+    assert uncached._cache_idx is None
+    # steady state (same membership, second frame) still matches
+    np.testing.assert_array_equal(cached.segment(imgs[2:4]),
+                                  uncached.segment(imgs[2:4]))
 
 
 def test_elastic_segment_async_parity_and_churn(db):

@@ -294,24 +294,63 @@ def test_warmup_cli_populates_cache(tmp_path, monkeypatch):
     """fosvos-warmup executes every production program (serve incl. int8,
     the adaptation scans incl. QAT, the webcam step) at the requested
     shapes and the persistent XLA cache gains entries — later processes
-    skip the multi-minute 480p compiles."""
+    skip the multi-minute 480p compiles.
+
+    Runs mid-suite, after other tests have already compiled into the
+    conftest cache dir: this exercises the re-pointing path
+    (``device._repoint_persistent_cache``) — jax's persistent-cache
+    singleton initializes once per process, so without the reset the CLI's
+    ``--cache-dir`` would silently keep writing to the old directory."""
     monkeypatch.chdir(tmp_path)
     cache = tmp_path / 'xla-cache'
     from fosvos_tpu.cli import warmup as cli_mod
+    from fosvos_tpu.runtime.device import enable_compilation_cache
 
+    suite_cache_dir = jax.config.jax_compilation_cache_dir
     # on-disk entries are written only on a compile MISS; earlier suite
     # tests may have compiled these same tiny programs into the in-memory
     # executable cache, so drop it to force real compiles here
     jax.clear_caches()
 
-    cli_mod.main(['--network', 'resnet18', '--scale-down-exponent', '4',
-                  '--height', '32', '--width', '48',
-                  '--batch-size-test', '2', '--n-epochs', '12',
-                  '--serve', '--adapt', '--webcam', '--int8', '--qat-int8',
-                  '--fleet-capacity', '2', '--cache-dir', str(cache)])
+    try:
+        cli_mod.main(['--network', 'resnet18', '--scale-down-exponent', '4',
+                      '--height', '32', '--width', '48',
+                      '--batch-size-test', '2', '--n-epochs', '12',
+                      '--serve', '--adapt', '--webcam', '--int8',
+                      '--qat-int8', '--fleet-capacity', '2',
+                      '--cache-dir', str(cache)])
+        entries = list(cache.iterdir()) if cache.exists() else []
+        assert entries, 'warmup must leave compiled programs in the cache'
+    finally:
+        # hand the suite its cache back (tmp_path is deleted after this
+        # test; leaving the singleton pointed there would both lose the
+        # suite's warm cache and write into a vanished directory)
+        enable_compilation_cache(suite_cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-    entries = list(cache.iterdir()) if cache.exists() else []
-    assert entries, 'warmup must leave compiled programs in the cache'
+
+def test_enable_compilation_cache_repoints_after_use(tmp_path):
+    """Re-pointing the persistent cache AFTER a compile has initialized it
+    must take effect (jax initializes the cache singleton once; the no-op
+    config update was the root cause of fosvos-warmup warming the wrong
+    cache in warm processes)."""
+    from fosvos_tpu.runtime.device import enable_compilation_cache
+
+    suite_cache_dir = jax.config.jax_compilation_cache_dir
+    a, b = tmp_path / 'cache_a', tmp_path / 'cache_b'
+    try:
+        enable_compilation_cache(str(a))
+        jax.clear_caches()
+        jax.jit(lambda x: x * 2.0 + 1.0)(jnp.arange(7.0)).block_until_ready()
+        assert list(a.iterdir()), 'first dir must receive the entry'
+
+        enable_compilation_cache(str(b))
+        jax.clear_caches()
+        jax.jit(lambda x: x * 3.0 - 2.0)(jnp.arange(9.0)).block_until_ready()
+        assert list(b.iterdir()), 're-pointed dir must receive entries'
+    finally:
+        enable_compilation_cache(suite_cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 
 def test_warm_fleet_covers_non_pow2_capacity(tmp_path, monkeypatch):
