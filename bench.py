@@ -203,7 +203,7 @@ def _bench_online_adaptation(dtype: str = 'fp32'):
     return best
 
 
-def _bench_offline_resident_train(batch_size: int = 1):
+def _bench_offline_resident_train(batch_size: int = 1, dtype: str = 'fp32'):
     """Offline parent-training throughput in device-resident mode
     (train/resident.py): HBM-resident uint8 split, on-device flip+3-scale
     augmentation, chunked scans. Steady-state epochs (first epoch pays the
@@ -215,6 +215,11 @@ def _bench_offline_resident_train(batch_size: int = 1):
     ``--batch-size`` (documented BN-semantics deviation: running stats see
     batch moments over 16 frames instead of 1 — the reference's batch-1
     BN is itself a known quirk, SURVEY.md §7 "hard parts").
+
+    ``dtype='bf16'`` is the CLI's ``--bf16`` recipe (bf16 activations,
+    fp32 params/BN-stats/losses, cli/train_offline.py:38-43). Measured on
+    the chip: b16 fp32 277 fps -> b16 bf16 412 -> b32 bf16 504 (the knee;
+    b64 is flat at 502).
 
     Baseline note: the reference publishes no train-step time; its published
     *forward* speed (10.67 ms/frame) is a strict lower bound on its train
@@ -228,15 +233,18 @@ def _bench_offline_resident_train(batch_size: int = 1):
     from fosvos_tpu.models import make_resnet
     from fosvos_tpu.train import optimizers, resident
 
-    # 64 frames: enough steps/epoch to amortize the per-epoch host round
-    # trip (permutation out + loss readback). At 16 frames the tunnel's
+    # >= 4 steps/epoch: enough to amortize the per-epoch host round trip
+    # (permutation out + loss readback). At fewer frames the tunnel's
     # ~30 ms/epoch overhead inflates the per-step cost by ~2 ms (measured);
     # real DAVIS epochs are 2079 frames, where it vanishes entirely.
+    n_seqs = max(16, batch_size)
     root = tempfile.mkdtemp(prefix='bench_resident_')
-    synthetic.generate(root, sequences=[f's{i}' for i in range(16)],
+    synthetic.generate(root, sequences=[f's{i}' for i in range(n_seqs)],
                        val_sequences=['v0'], n_frames=4, size=(480, 854))
     ds = davis.DAVIS2016(mode='train', db_root_dir=root)
     model = make_resnet(18)
+    if dtype == 'bf16':
+        model = model.clone(dtype=jnp.bfloat16)
     variables = jax.device_put(model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32),
         train=False))
@@ -285,11 +293,14 @@ def _run_adaptation_row(dtype):
     })
 
 
-def _run_offline_train_row(batch_size):
+def _run_offline_train_row(batch_size, dtype='fp32'):
     t0 = time.perf_counter()
-    train_fps = _bench_offline_resident_train(batch_size)
+    train_fps = _bench_offline_resident_train(batch_size, dtype)
     suffix = '' if batch_size == 1 else f'_b{batch_size}'
-    print(f'# offline resident train b{batch_size}: {train_fps:.1f} frames/s '
+    if dtype != 'fp32':
+        suffix += f'_{dtype}'
+    print(f'# offline resident train b{batch_size} {dtype}: '
+          f'{train_fps:.1f} frames/s '
           f'({time.perf_counter() - t0:.0f}s incl. compile)',
           file=sys.stderr)
     return _emit({
@@ -369,7 +380,8 @@ def main(argv=None):
         _run_adaptation_row('fp32')
 
     # the costliest rows run LAST so a driver timeout cannot eat the zoo
-    _run_offline_train_row(16)
+    _run_offline_train_row(32, 'bf16')   # best measured config (the knee)
+    _run_offline_train_row(16)           # fp32, like-for-like precision
     if args.full:
         _run_offline_train_row(1)
 

@@ -211,6 +211,41 @@ def conv_transpose(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     )
 
 
+def deconv_phase_map(x: jax.Array, kernel: jax.Array, s: int) -> jax.Array:
+    """The kernel-segregated 2x2 conv of the pixel-shuffle deconv lowering
+    WITHOUT the depth-to-space interleave: returns the phase map
+    ``(N, hp, wp, s*s*co)`` where full-res pixel ``(a*s + r1, b*s + r2)`` of
+    channel ``c`` lives at ``[n, a, b, (r1*s + r2)*co + c]``.
+
+    Exposed separately so a fused mask-head tail can consume the phase maps
+    of several side heads and emit one full-resolution sum directly — the
+    per-head depth-to-space materializations are the serving tail's HBM
+    cost. The Pallas kernel built on this was measured SLOWER than the XLA
+    composition and retired (``tools/bench_fused_heads_retirement.py``,
+    BENCHMARKS.md "Pallas kernels: measured and retired").
+    """
+    kh, kw, co, ci = kernel.shape
+    assert kh == kw == 2 * s
+    w = kernel.reshape(2, s, 2, s, co, ci)
+    # conv offset d' relates to derivation's d by d = 1 - d': flip taps
+    w = jnp.flip(w, axis=(0, 2))
+    w = w.transpose(0, 2, 5, 1, 3, 4).reshape(2, 2, ci, s * s * co)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return lax.conv_general_dilated(
+        xp, w, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def depth_to_space_phases(y: jax.Array, s: int, co: int) -> jax.Array:
+    """Interleave a ``(N, hp, wp, s*s*co)`` phase map back to
+    ``(N, hp*s, wp*s, co)`` full resolution."""
+    n, hp, wp, _ = y.shape
+    y = y.reshape(n, hp, wp, s, s, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, hp * s, wp * s, co)
+
+
 def _deconv_pixel_shuffle(x: jax.Array, kernel: jax.Array,
                           s: int) -> jax.Array:
     """Transposed conv with k == 2s as dense 2x2 conv + depth-to-space.
@@ -220,20 +255,8 @@ def _deconv_pixel_shuffle(x: jax.Array, kernel: jax.Array,
     (left-padded by 1). All s^2 phases stack into the output channel dim and
     interleave back via reshape/transpose.
     """
-    kh, kw, co, ci = kernel.shape
-    w = kernel.reshape(2, s, 2, s, co, ci)
-    # conv offset d' relates to derivation's d by d = 1 - d': flip taps
-    w = jnp.flip(w, axis=(0, 2))
-    w = w.transpose(0, 2, 5, 1, 3, 4).reshape(2, 2, ci, s * s * co)
-
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y = lax.conv_general_dilated(
-        xp, w, window_strides=(1, 1), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    n, hp, wp, _ = y.shape
-    y = y.reshape(n, hp, wp, s, s, co)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, hp * s, wp * s, co)
+    co = kernel.shape[2]
+    return depth_to_space_phases(deconv_phase_map(x, kernel, s), s, co)
 
 
 def upsample_bilinear_deconv(x: jax.Array, kernel: jax.Array,
