@@ -67,6 +67,13 @@ def get_base_parser() -> argparse.ArgumentParser:
                              'forwards (compress/quantize.py; calibrates on '
                              "each sequence's first batch). Composes with "
                              '--bf16 (int8 convs + bf16 elsewhere)')
+    parser.add_argument('--fold-bn', action='store_true',
+                        help='fold BatchNorms into conv kernels for '
+                             'testing/eval forwards (compress/foldbn.py; '
+                             '+2.6%% bf16 / +3.9%% int8 serving throughput '
+                             'measured). Off by default: folding '
+                             're-associates float rounding, so bit-parity '
+                             'runs must not use it')
     parser.add_argument('--visualize-network', action='store_true',
                         help='dump the forward jaxpr + lowered HLO next to '
                              "the run (the XLA equivalent of the reference's "

@@ -75,7 +75,8 @@ def get_network(variant: str, version: Optional[int],
 
 
 def make_segment_fn(model, variables, boolean_mask: bool,
-                    bf16: bool = False, int8: bool = False):
+                    bf16: bool = False, int8: bool = False,
+                    fold_bn: bool = False):
     """(submit, fetch) pair for the jitted segmentation step.
 
     ``submit(frame_u8)`` enqueues one frame and returns a device future;
@@ -92,7 +93,13 @@ def make_segment_fn(model, variables, boolean_mask: bool,
     import jax
     import jax.numpy as jnp
 
+    from fosvos_tpu.compress import foldbn
+
     mean = jnp.asarray(mean_value)
+    if fold_bn:
+        # fold BNs into the conv kernels ahead of time (compress/foldbn.py;
+        # folded_apply below is a no-op for trees without the collection)
+        variables = foldbn.fold(model, variables)
     if bf16:
         variables = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32
@@ -116,8 +123,10 @@ def make_segment_fn(model, variables, boolean_mask: bool,
         @jax.jit
         def segment_q(variables, qtree, frame_u8):
             x = preprocess(frame_u8)
-            return to_prob(quantize.quantized_apply(
-                model, variables, qtree, x[None]))
+            return to_prob(foldbn.folded_apply(
+                model, variables, x[None],
+                apply_fn=lambda v, xx, **kw: quantize.quantized_apply(
+                    model, v, qtree, xx, **kw)))
 
         def submit(frame_u8):
             if 'qtree' not in state:  # calibrate on the first live frame
@@ -131,8 +140,8 @@ def make_segment_fn(model, variables, boolean_mask: bool,
 
     @jax.jit
     def segment(frame_u8):
-        return to_prob(model.apply(variables, preprocess(frame_u8)[None],
-                                   train=False))
+        return to_prob(foldbn.folded_apply(
+            model, variables, preprocess(frame_u8)[None], train=False))
 
     return segment, lambda fut: np.asarray(fut)
 
@@ -171,20 +180,24 @@ def perform_overlay(input_img, prediction, overlay_alpha, overlay_color):
 @click.option('--int8', is_flag=True, default=False,
               help='int8 post-training-quantized convs (calibrates on the '
                    'first frame)')
+@click.option('--fold-bn', is_flag=True, default=False,
+              help='fold BatchNorms into conv kernels (compress/foldbn.py; '
+                   'faster serving, float rounding shifts slightly)')
 @click.option('--pipeline/--no-pipeline', default=True, show_default=True,
               help='double-buffer: segment frame k on device while frame '
                    "k-1's result returns (display lags one frame; hides the "
                    'host<->device round trip)')
 def main(variant, version, webcam, video, model_path, mirror, use_network,
          overlay, boolean_mask, overlay_color, overlay_alpha, headless,
-         max_frames, bf16, int8, pipeline):
+         max_frames, bf16, int8, fold_bn, pipeline):
     import cv2
 
     submit = fetch = None
     if use_network:
         model, variables = get_network(variant, version, model_path)
         submit, fetch = make_segment_fn(model, variables, boolean_mask,
-                                        bf16=bf16, int8=int8)
+                                        bf16=bf16, int8=int8,
+                                        fold_bn=fold_bn)
 
     last_shown = [None]
 

@@ -94,7 +94,8 @@ def train_and_test(net_provider, settings: OfflineSettings, db_root_dir,
                               is_visualizing_results=(
                                   settings.is_visualizing_results),
                               bf16=getattr(settings, 'bf16', False),
-                              int8=getattr(settings, 'int8', False))
+                              int8=getattr(settings, 'int8', False),
+                              fold_bn=getattr(settings, 'fold_bn', False))
         log.info('Test finished: %d images in %.2fs',
                  out['n_images'], out['total_time_s'])
 
@@ -263,6 +264,7 @@ def main(argv=None):
     settings.device_resident = args.device_resident
     settings.bf16 = args.bf16
     settings.int8 = getattr(args, 'int8', False)
+    settings.fold_bn = getattr(args, 'fold_bn', False)
 
     provider_class = provider_mapping[('offline', args.network)]
     version = (int(args.network.removeprefix('resnet'))

@@ -118,7 +118,8 @@ def train_and_test(net_provider, tuner: Optional[online.OnlineFinetuner],
 def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
                db_root_dir, save_dir_models, save_dir_results,
                window_batch: bool = True, qat_int8: bool = False,
-               int8: bool = False, bf16: bool = False) -> None:
+               int8: bool = False, bf16: bool = False,
+               fold_bn: bool = False) -> None:
     """All sequences at once on the mesh (fosvos_tpu.parallel.fanout)."""
     import jax
     from fosvos_tpu.parallel import fanout, make_mesh
@@ -165,7 +166,8 @@ def run_fanout(net_provider, sequences: List[str], settings: OnlineSettings,
     engine = experiment.InferenceEngine(net_provider.model,
                                         settings.batch_size_test,
                                         bf16=bf16,
-                                        int8=int8 or qat_int8)  # fanout
+                                        int8=int8 or qat_int8,
+                                        fold_bn=fold_bn)  # fanout
     for k, seq in enumerate(sequences):
         net_provider.variables = jax.tree.map(
             lambda a: a[k], {'params': res.params,
@@ -285,7 +287,8 @@ def main(argv=None):
                                             False),
                    qat_int8=qat_int8,
                    int8=getattr(args, 'int8', False),
-                   bf16=getattr(args, 'bf16', False))
+                   bf16=getattr(args, 'bf16', False),
+                   fold_bn=getattr(args, 'fold_bn', False))
         return
 
     # one finetuner + one inference engine reused across sequences: the
@@ -324,7 +327,8 @@ def main(argv=None):
             engine = experiment.InferenceEngine(
                 net_provider.model, settings.batch_size_test,
                 bf16=getattr(args, 'bf16', False),
-                int8=getattr(args, 'int8', False))
+                int8=getattr(args, 'int8', False),
+                fold_bn=getattr(args, 'fold_bn', False))
         train_and_test(net_provider, tuner, seq, settings, db_root_dir,
                        save_dir_models, save_dir_results, engine=engine)
 

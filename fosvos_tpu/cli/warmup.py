@@ -55,11 +55,12 @@ def build_model(network: str, arch_json: str = None,
 
 
 def warm_serve(model, variables, h: int, w: int, batch_size: int,
-               bf16: bool, int8: bool, mean) -> None:
+               bf16: bool, int8: bool, mean, fold_bn: bool = False) -> None:
     """The InferenceEngine forward (mask production) at (batch, h, w)."""
     from fosvos_tpu.evaluation import experiment
     engine = experiment.InferenceEngine(model, batch_size, mean=mean,
-                                        bf16=bf16, int8=int8)
+                                        bf16=bf16, int8=int8,
+                                        fold_bn=fold_bn)
     frames = np.zeros((batch_size, h, w, 3), np.uint8)
     if int8:
         # programs depend on scale *shapes* only; zeros-calibration warms
@@ -67,8 +68,9 @@ def warm_serve(model, variables, h: int, w: int, batch_size: int,
         engine.calibrate(variables, frames)
     t0 = time.perf_counter()
     engine.masks_for_sequence(variables, frames)
-    log.info('serve warm: b%d %dx%d bf16=%s int8=%s (%.1fs)', batch_size,
-             h, w, bf16, int8, time.perf_counter() - t0)
+    log.info('serve warm: b%d %dx%d bf16=%s int8=%s fold_bn=%s (%.1fs)',
+             batch_size, h, w, bf16, int8, fold_bn,
+             time.perf_counter() - t0)
 
 
 def warm_adapt(model, variables, h: int, w: int, n_epochs: int,
@@ -158,6 +160,9 @@ def main(argv=None):
     parser.add_argument('--sequential-windows', action='store_true')
     parser.add_argument('--bf16', action='store_true')
     parser.add_argument('--int8', action='store_true')
+    parser.add_argument('--fold-bn', action='store_true',
+                        help='warm the BN-folded serve program '
+                             '(compress/foldbn.py)')
     parser.add_argument('--qat-int8', action='store_true')
     parser.add_argument('--cache-dir', default=None, type=str,
                         help='persistent XLA cache location (default '
@@ -177,7 +182,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     if args.serve:
         warm_serve(model, variables, h, w, args.batch_size_test,
-                   args.bf16, args.int8, DAVIS_MEAN_BGR)
+                   args.bf16, args.int8, DAVIS_MEAN_BGR,
+                   fold_bn=getattr(args, 'fold_bn', False))
     if args.adapt:
         warm_adapt(model, variables, h, w, args.n_epochs,
                    args.avg_grad_every_n, args.bf16,

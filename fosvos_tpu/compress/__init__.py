@@ -1,3 +1,3 @@
-from fosvos_tpu.compress import mimic, prune, qat, quantize
+from fosvos_tpu.compress import foldbn, mimic, prune, qat, quantize
 
-__all__ = ['mimic', 'prune', 'qat', 'quantize']
+__all__ = ['foldbn', 'mimic', 'prune', 'qat', 'quantize']

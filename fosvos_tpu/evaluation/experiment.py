@@ -109,15 +109,19 @@ class InferenceEngine:
     """
 
     def __init__(self, model, batch_size: int = 4, mean=DAVIS_MEAN_BGR,
-                 bf16: bool = False, mesh=None, int8: bool = False):
+                 bf16: bool = False, mesh=None, int8: bool = False,
+                 fold_bn: bool = False):
         self.model = model
         self.batch_size = batch_size
         self.mean = tuple(mean)
         self.bf16 = bf16
         self.mesh = mesh
         self.int8 = int8
+        self.fold_bn = fold_bn
         self._qtree = None
         self._calibrated_weights = None
+        self._fold_key = None
+        self._fold_vars = None
 
         self._img_sharding = None
         self._replicated = None
@@ -160,23 +164,33 @@ class InferenceEngine:
             # reference saves the sigmoid map as PNG (experiment_helper.py:57,64)
             return jnp.round(prob * 255.0).astype(jnp.uint8)
 
+        # folded_apply == model.apply when the variables carry no
+        # 'bn_fold' collection, so one code path serves both modes (the
+        # extra collection changes the jit pytree structure, keying a
+        # separate compiled program automatically)
         @functools.partial(jax.jit, **jit_kwargs)
         def forward_masks(variables, images):
+            from fosvos_tpu.compress import foldbn
             variables, images = cast_in(variables, images)
-            return to_masks(model.apply(variables, images, train=False))
+            return to_masks(foldbn.folded_apply(
+                model, variables, images, train=False))
 
         @functools.partial(jax.jit, **jit_kwargs)
         def forward_logits(variables, images):
+            from fosvos_tpu.compress import foldbn
             variables, images = cast_in(variables, images)
-            return model.apply(variables, images,
-                               train=False)[-1].astype(jnp.float32)
+            return foldbn.folded_apply(
+                model, variables, images,
+                train=False)[-1].astype(jnp.float32)
 
         @functools.partial(jax.jit, **q_jit_kwargs)
         def forward_masks_q(variables, qtree, images):
-            from fosvos_tpu.compress import quantize
+            from fosvos_tpu.compress import foldbn, quantize
             variables, images = cast_in(variables, images)
-            return to_masks(quantize.quantized_apply(
-                model, variables, qtree, images))
+            return to_masks(foldbn.folded_apply(
+                model, variables, images, train=False,
+                apply_fn=lambda v, x, **kw: quantize.quantized_apply(
+                    model, v, qtree, x, **kw)))
 
         self._forward_masks_float = forward_masks
         self._forward_masks_q = forward_masks_q
@@ -201,17 +215,36 @@ class InferenceEngine:
         return len(key) != len(new) or any(
             a is not b for a, b in zip(key, new))
 
+    def _folded(self, variables):
+        """BN-folded serving tree for ``variables`` (compress/foldbn.py),
+        cached by weights identity and pinned in HBM — numpy leaves would
+        re-transfer per dispatch (see BENCHMARKS.md operational note)."""
+        key = self._weights_key(variables)
+        if self._fold_key is not None and len(key) == len(self._fold_key) \
+                and all(a is b for a, b in zip(key, self._fold_key)):
+            return self._fold_vars
+        from fosvos_tpu.compress import foldbn
+        folded = foldbn.fold(self.model, variables)
+        self._fold_vars = jax.device_put(
+            folded, self._replicated) if self._replicated is not None \
+            else jax.device_put(folded)
+        self._fold_key = key
+        return self._fold_vars
+
     def calibrate(self, variables, frames: np.ndarray) -> None:
         """Build int8 scales/kernels from representative frames (uint8 raw
         or float32 preprocessed). Required before int8 serving; kernels are
         re-quantized per call, so re-calibrating after a weight update is
-        one call."""
+        one call. With ``fold_bn`` the quantization runs on the folded tree
+        (whose identity BNs keep plain ``model.apply`` numerics correct),
+        so scales match the kernels actually served."""
         from fosvos_tpu.compress import quantize
         if not self.int8:
             raise ValueError('engine was not built with int8=True')
         batch = np.asarray(frames)[:self.batch_size]
         qp = quantize.build_qparams(
-            self.model, variables, [batch],
+            self.model, self._folded(variables) if self.fold_bn
+            else variables, [batch],
             preprocess=lambda x: device_preprocess(x, self.mean))
         tree = qp.tree()
         if self._replicated is not None:
@@ -228,6 +261,12 @@ class InferenceEngine:
         if not self.int8:
             raise ValueError('engine was not built with int8=True')
         tree = qparams.tree() if hasattr(qparams, 'tree') else dict(qparams)
+        if self.fold_bn:
+            # external qparams were built against the UNFOLDED weights;
+            # absorb the fold's per-channel g into the weight scales so
+            # they dequantize correctly next to the folded tree
+            from fosvos_tpu.compress import foldbn
+            tree = foldbn.fold_qparams(self.model, variables, tree)
         if self._replicated is not None:
             tree = jax.device_put(tree, self._replicated)
         self._qtree = tree
@@ -237,10 +276,16 @@ class InferenceEngine:
         if self.int8:
             # re-quantize when the weights change (a shared engine serves a
             # different adapted model per sequence in the online sweep) —
-            # stale int8 kernels would silently serve the previous model
+            # stale int8 kernels would silently serve the previous model.
+            # Staleness/calibration key on the ORIGINAL tree; folding maps
+            # it to the cached served tree afterwards.
             if self._qtree is None or self._weights_stale(variables):
                 self.calibrate(variables, np.asarray(images))
+            if self.fold_bn:
+                variables = self._folded(variables)
             return self._forward_masks_q(variables, self._qtree, images)
+        if self.fold_bn:
+            variables = self._folded(variables)
         return self._forward_masks_float(variables, images)
 
     def _put(self, batch: np.ndarray) -> jax.Array:
@@ -322,7 +367,7 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
          seq_name: Optional[str] = None, eval_speeds: bool = False,
          batch_size: int = 4, engine: Optional[InferenceEngine] = None,
          is_visualizing_results: bool = False, bf16: bool = False,
-         int8: bool = False) -> Dict[str, object]:
+         int8: bool = False, fold_bn: bool = False) -> Dict[str, object]:
     """Run inference over sequences and write masks (reference ``test()``).
 
     Output layout identical to the reference: ``<save_dir>/<seq>/<fname>.png``
@@ -331,7 +376,7 @@ def test(model, variables, dataset: DAVIS2016, save_dir: str,
     """
     engine = engine or InferenceEngine(model, batch_size,
                                        mean=dataset.meanval, bf16=bf16,
-                                       int8=int8)
+                                       int8=int8, fold_bn=fold_bn)
     results: Dict[str, object] = {}
     seqs = [seq_name] if seq_name else dataset.sequence_names
     # uint8 ingest only when the engine's on-device mean matches the dataset
