@@ -345,6 +345,13 @@ ZOO_DEFAULT = [
     # int8 = the HBM-bandwidth lever (weights 4x smaller than fp32)
     ('resnet18_480p_latency_fps_b1_fp32', lambda: _build_resnet(18),
      1, 'fp32', 'resnet18', 30),
+    # b1 bf16 + folded BNs: the best single-chip b1 config (BN folding
+    # helps at b1 too, +2.3% — tools/bench_b1_fold_probe.py; int8+fold at
+    # b1 is a 2x REGRESSION: the dequant stops fusing into the conv
+    # epilogue and 93 MB of raw s32 conv outputs materialize per frame,
+    # probe --hlo)
+    ('resnet18_480p_latency_fps_b1_bf16_foldbn', lambda: _build_resnet(18),
+     1, 'bf16', 'resnet18', 30, True),
     ('resnet18_480p_latency_fps_b1_bf16', lambda: _build_resnet(18),
      1, 'bf16', 'resnet18', 30),
     ('resnet18_480p_latency_fps_b1_int8', lambda: _build_resnet(18),
