@@ -160,16 +160,12 @@ def _measure(model, variables, batch: int, dtype: str, n_runs: int,
         def call():
             return forward_masks(variables, frames)
 
-    np.asarray(call())  # compile + warm (skipped)
-
-    best_dt = float('inf')
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n_runs):
-            r = call()
-        np.asarray(r[0, 0, :8])  # in-order fence
-        best_dt = min(best_dt, (time.perf_counter() - t0) / n_runs)
+    from fosvos_tpu.runtime.timing import time_pipelined
+    np.asarray(call())  # compile (excluded from every timing round)
+    # best-of-3 pipelined-fence rounds; the protocol is the ONE shared
+    # implementation (runtime.timing.time_pipelined) so probe tools and
+    # bench rows cannot drift (ADVICE r4)
+    best_dt = min(time_pipelined(call, n_runs=n_runs) for _ in range(3))
     return batch / best_dt
 
 
@@ -345,8 +341,9 @@ ZOO_DEFAULT = [
     # int8 = the HBM-bandwidth lever (weights 4x smaller than fp32)
     ('resnet18_480p_latency_fps_b1_fp32', lambda: _build_resnet(18),
      1, 'fp32', 'resnet18', 30),
-    # b1 bf16 + folded BNs: the best single-chip b1 config (BN folding
-    # helps at b1 too, +2.3% — tools/bench_b1_fold_probe.py; int8+fold at
+    # b1 bf16 + folded BNs: +2.3% over unfolded bf16 in a paired session
+    # (tools/bench_b1_fold_probe.py) and within ~2% session noise of b1
+    # fp32 across sessions — tied-best, not a clear winner; int8+fold at
     # b1 is a 2x REGRESSION: the dequant stops fusing into the conv
     # epilogue and 93 MB of raw s32 conv outputs materialize per frame,
     # probe --hlo)

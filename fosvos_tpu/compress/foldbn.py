@@ -18,7 +18,8 @@ but the fused multiply/add still occupies VPU cycles that the folded
 program simply does not issue.
 
 Batch-1 caveat (``tools/bench_b1_fold_probe.py``): folding helps bf16 at
-b1 too (435.9 -> 446.1 fps, the best single-chip b1 config), but
+b1 too (435.9 -> 446.1 fps paired; across sessions within ~2% noise of
+b1 fp32, i.e. tied-best rather than a clear b1 winner), but
 **int8 + fold at b1 is a 2x regression** (438.5 -> 210.9 fps) — in the
 folded int8 program XLA stops fusing the dequant into the conv epilogue
 and 93 MB/frame of raw s32 conv outputs materialize (probe ``--hlo``),

@@ -218,13 +218,24 @@ def build_qparams(model, variables, calib_batches: Iterable[np.ndarray],
 
 
 def quantized_apply(model, variables, qtree, x: jax.Array,
-                    train: bool = False, **apply_kwargs):
+                    train: bool = False, conv_out_dtype=None,
+                    **apply_kwargs):
     """Forward pass with every calibrated conv running int8 -> int32.
 
     ``qtree``: ``QuantizedParams.tree()`` (a plain pytree so it can be a jit
     argument). Non-quantized modules (BN, deconvs, pooling, fuse) run
     exactly as in the float model.
+
+    ``conv_out_dtype``: accumulation/emission dtype for the int8 convs
+    (``preferred_element_type``). Default int32 (exact accumulation).
+    ``jnp.bfloat16`` halves the conv-output write wherever the raw conv
+    result materializes in HBM — probed for the b1 int8+fold regression
+    (``tools/bench_b1_fold_probe.py``), where 93 MB/frame of s32 conv
+    outputs were the measured cost; bf16 accumulation trades exactness of
+    the int32 dot for that traffic.
     """
+    if conv_out_dtype is None:
+        conv_out_dtype = jnp.int32
     kernels = qtree['kernels']
     wscale = qtree['wscale']
     act_scale = qtree['act_scale']
@@ -248,7 +259,7 @@ def quantized_apply(model, variables, qtree, x: jax.Array,
             xq.shape, wq.shape, ('NHWC', 'HWIO', 'NHWC'))
         y = jax.lax.conv_general_dilated(
             xq, wq, window_strides=strides, padding=padding,
-            dimension_numbers=dn, preferred_element_type=jnp.int32)
+            dimension_numbers=dn, preferred_element_type=conv_out_dtype)
         y = y.astype(jnp.float32) * (wscale[path] * s_x)
         if mod.use_bias:
             y = y + _get_nested(params, path)['bias'].astype(jnp.float32)

@@ -104,15 +104,29 @@ class SequenceStats:
 
 
 def db_statistics(per_frame: np.ndarray) -> SequenceStats:
-    """DAVIS per-sequence statistics (toolkit ``db_statistics`` semantics).
+    """DAVIS per-sequence statistics over *evaluated* frames.
 
-    The protocol's first/last-frame exclusion is applied exactly ONCE, by
-    the caller (:func:`evaluate_sequence` trims before computing per-frame
-    values); this function treats every element of ``per_frame`` as an
-    evaluated frame. The toolkit's ``db_statistics`` receives the *full*
-    array and trims in-function (``per_frame_values[1:-1]`` for recall and
-    the decay bins) — either way each statistic sees frames ``1..N-2``
-    exactly once, so the numbers are comparable to toolkit YAMLs.
+    Toolkit semantics, settled against the two public evaluator generations
+    (both quoted verbatim and executed in
+    ``tests/test_evaluation.py::TestToolkitStatSemantics``):
+
+    * **davis2017-evaluation** (the current official scorer,
+      ``davis2017/utils.py::db_statistics``): NO in-function trim — its
+      caller (``evaluation.py``, semi-supervised task) pre-trims the
+      first/last frames (``all_gt_masks[:, 1:-1]``) before computing
+      per-frame values. This function matches it EXACTLY: the caller
+      (:func:`evaluate_sequence`) trims once, and mean/recall/decay here
+      all see frames ``1..N-2``.
+    * **fperazzi/davis (2016) and its davis-2017 fork** (what the reference
+      ran, ``src/eval/README.md:2-3``): the caller passes the FULL
+      per-frame array and ``db_statistics`` trims ``[1:-1]`` in-function
+      for recall and the decay bins — but its MEAN spans the full array,
+      first (= the given annotation, trivially near-1) and last frames
+      included. Recall/decay are therefore identical between the two
+      generations; only the mean differs. :func:`evaluate_sequence`
+      exposes ``toolkit='davis2016'`` to reproduce that full-span mean
+      when comparing against YAMLs produced by the reference's fork.
+
     (An earlier revision re-trimmed here on top of the caller's trim — an
     off-by-two on recall for short sequences; pinned by a hand-computed
     example in ``tests/test_evaluation.py``.)
@@ -122,6 +136,8 @@ def db_statistics(per_frame: np.ndarray) -> SequenceStats:
     O = float(np.nanmean(v > 0.5))
     n_bins = 4
     ids = np.round(np.linspace(1, len(v), n_bins + 1) + 1e-10) - 1
+    # int, not the toolkits' uint8 (which silently overflows past 255
+    # frames; DAVIS sequences are <= ~104 so the numbers cannot differ)
     ids = ids.astype(int)
     bins = [v[ids[i]:ids[i + 1] + 1] for i in range(n_bins)]
     D = float(np.nanmean(bins[0]) - np.nanmean(bins[3]))
@@ -136,23 +152,46 @@ class SequenceEval:
 
 def evaluate_sequence(annotations: Sequence[np.ndarray],
                       segmentations: Sequence[np.ndarray],
-                      skip_first_last: bool = True) -> SequenceEval:
+                      skip_first_last: bool = True,
+                      toolkit: str = 'davis2017') -> SequenceEval:
     """J&F over one sequence of binary masks.
 
     The DAVIS protocol excludes the first frame (it is the given annotation)
     and the last frame from per-frame statistics; pass the full sequence and
     leave ``skip_first_last`` on for benchmark-comparable numbers.
+
+    ``toolkit`` selects which public evaluator's *mean* semantics to match
+    (recall/decay are identical between them — see :func:`db_statistics`):
+
+    * ``'davis2017'`` (default): mean over the trimmed frames ``1..N-2``,
+      like the official davis2017-evaluation scorer.
+    * ``'davis2016'``: mean over ALL frames including first/last, like the
+      fperazzi/davis toolkit the reference's YAMLs came from — its
+      ``db_statistics`` trims only recall/decay in-function while
+      ``np.nanmean(per_frame_values)`` spans the full array.
     """
+    if toolkit not in ('davis2017', 'davis2016'):
+        raise ValueError(f'unknown toolkit {toolkit!r}')
     assert len(annotations) == len(segmentations)
-    idxs = range(len(annotations))
-    if skip_first_last and len(annotations) > 2:
-        idxs = range(1, len(annotations) - 1)
-    js, fs = [], []
+    n = len(annotations)
+    trim = skip_first_last and n > 2
+    # davis2016 full-span means need the end frames evaluated even when
+    # the core statistics trim them
+    need_ends = (not trim) or toolkit == 'davis2016'
+    idxs = range(n) if need_ends else range(1, n - 1)
+    js, fs = {}, {}
     for i in idxs:
-        js.append(iou(annotations[i], segmentations[i]))
-        fs.append(f_boundary(annotations[i], segmentations[i]))
-    return SequenceEval(j=db_statistics(np.asarray(js)),
-                        f=db_statistics(np.asarray(fs)))
+        js[i] = iou(annotations[i], segmentations[i])
+        fs[i] = f_boundary(annotations[i], segmentations[i])
+    core = [i for i in js if not trim or 0 < i < n - 1]
+    j = db_statistics(np.asarray([js[i] for i in core]))
+    f = db_statistics(np.asarray([fs[i] for i in core]))
+    if toolkit == 'davis2016' and trim:
+        j = dataclasses.replace(
+            j, mean=float(np.nanmean([js[i] for i in sorted(js)])))
+        f = dataclasses.replace(
+            f, mean=float(np.nanmean([fs[i] for i in sorted(fs)])))
+    return SequenceEval(j=j, f=f)
 
 
 @dataclasses.dataclass

@@ -127,6 +127,128 @@ def test_db_statistics_matches_toolkit_on_six_frames():
     assert ev.j.mean == pytest.approx(np.mean(core))  # J mean unchanged
 
 
+class TestToolkitStatSemantics:
+    """Settle mean/recall/decay trim semantics against the two public
+    evaluator generations by EXECUTING their ``db_statistics`` code.
+
+    Both functions below are quoted from the public repos (reconstructed
+    from their published source — this environment has no network egress,
+    so layout/whitespace may differ but the executable semantics are the
+    published ones):
+
+    ``_fperazzi_db_statistics`` — fperazzi/davis (DAVIS-2016 benchmark
+    toolkit) and its davis-2017 fork, the scorer the reference ran
+    (``/root/reference/src/eval/README.md:2-3``)::
+
+        def db_statistics(per_frame_values):
+            # strip off nan values
+            M = np.nanmean(per_frame_values)
+            O = np.nanmean(per_frame_values[1:-1]>0.5)
+            # Compute decay as implemented in Matlab
+            per_frame_values = per_frame_values[1:-1] # Remove first frame
+            N_bins = 4 # Sum of 4 (bins) should be 100%
+            ids = np.round(np.linspace(1,len(per_frame_values),N_bins+1)+1e-10)-1
+            ids = ids.astype(np.uint8)
+            D_bins = [per_frame_values[ids[i]:ids[i+1]+1] for i in range(0,4)]
+            D = np.nanmean(D_bins[0])-np.nanmean(D_bins[3])
+            return M,O,D
+
+    — its caller passes the FULL per-frame array: the in-function ``[1:-1]``
+    covers recall and decay but the MEAN spans all frames.
+
+    ``_official_db_statistics`` — davis2017-evaluation
+    (``davis2017/utils.py``), the current official scorer::
+
+        def db_statistics(per_frame_values):
+            M = np.nanmean(per_frame_values)
+            O = np.nanmean(per_frame_values > 0.5)
+            N_bins = 4
+            ids = np.round(np.linspace(1, len(per_frame_values), N_bins + 1) + 1e-10) - 1
+            ids = ids.astype(np.uint8)
+            D_bins = [per_frame_values[ids[i]:ids[i + 1] + 1] for i in range(0, 4)]
+            D = np.nanmean(D_bins[0]) - np.nanmean(D_bins[3])
+            return M, O, D
+
+    — NO in-function trim; its caller (``davis2017/evaluation.py``,
+    semi-supervised task) pre-trims masks with ``all_gt_masks[:, 1:-1]``.
+    """
+
+    @staticmethod
+    def _fperazzi_db_statistics(per_frame_values):
+        per_frame_values = np.asarray(per_frame_values, np.float64)
+        M = np.nanmean(per_frame_values)
+        O = np.nanmean(per_frame_values[1:-1] > 0.5)
+        per_frame_values = per_frame_values[1:-1]
+        N_bins = 4
+        ids = np.round(np.linspace(1, len(per_frame_values), N_bins + 1)
+                       + 1e-10) - 1
+        ids = ids.astype(np.uint8)
+        D_bins = [per_frame_values[ids[i]:ids[i + 1] + 1] for i in range(4)]
+        D = np.nanmean(D_bins[0]) - np.nanmean(D_bins[3])
+        return M, O, D
+
+    @staticmethod
+    def _official_db_statistics(per_frame_values):
+        per_frame_values = np.asarray(per_frame_values, np.float64)
+        M = np.nanmean(per_frame_values)
+        O = np.nanmean(per_frame_values > 0.5)
+        N_bins = 4
+        ids = np.round(np.linspace(1, len(per_frame_values), N_bins + 1)
+                       + 1e-10) - 1
+        ids = ids.astype(np.uint8)
+        D_bins = [per_frame_values[ids[i]:ids[i + 1] + 1] for i in range(4)]
+        D = np.nanmean(D_bins[0]) - np.nanmean(D_bins[3])
+        return M, O, D
+
+    def test_ours_equals_official_scorer_on_pretrimmed(self):
+        """Default semantics == davis2017-evaluation: caller trims, stats
+        over the trimmed array — exact match on random inputs."""
+        rng = np.random.RandomState(0)
+        for n in (3, 4, 6, 25, 80, 104):
+            full = rng.rand(n)
+            st = metrics.db_statistics(full[1:-1])
+            M, O, D = self._official_db_statistics(full[1:-1])
+            assert st.mean == pytest.approx(M)
+            assert st.recall == pytest.approx(O)
+            assert st.decay == pytest.approx(D)
+
+    def test_recall_decay_identical_across_toolkit_generations(self):
+        """fperazzi on the FULL array == ours on the caller-trimmed array
+        for recall and decay (each trims exactly once)."""
+        rng = np.random.RandomState(1)
+        for n in (4, 6, 25, 80, 104):
+            full = rng.rand(n)
+            st = metrics.db_statistics(full[1:-1])
+            _, O, D = self._fperazzi_db_statistics(full)
+            assert st.recall == pytest.approx(O)
+            assert st.decay == pytest.approx(D)
+
+    def test_fperazzi_mean_spans_full_array_and_compat_mode_matches(self):
+        """The generations DIFFER on the mean (fperazzi includes the
+        first/last frames); ``evaluate_sequence(toolkit='davis2016')``
+        reproduces the fperazzi mean for YAML comparability."""
+        # per-frame J engineered as in the six-frame test above
+        full = np.array([1.0, 0.9, 0.2, 0.3, 0.8, 0.0])
+        Mf, _, _ = self._fperazzi_db_statistics(full)
+        assert Mf == pytest.approx(np.mean(full))          # full span
+        assert Mf != pytest.approx(np.mean(full[1:-1]))    # the delta is real
+
+        ann = [np.zeros((20, 20), bool) for _ in range(6)]
+        seg = [np.zeros((20, 20), bool) for _ in range(6)]
+        for i, j_val in enumerate(full):
+            ann[i][5:15, 5:15] = True
+            seg[i][5:5 + int(round(j_val * 10)), 5:15] = True
+        ev16 = metrics.evaluate_sequence(ann, seg, toolkit='davis2016')
+        ev17 = metrics.evaluate_sequence(ann, seg)
+        assert ev16.j.mean == pytest.approx(Mf)
+        assert ev17.j.mean == pytest.approx(np.mean(full[1:-1]))
+        # recall/decay unaffected by the toolkit switch
+        assert ev16.j.recall == pytest.approx(ev17.j.recall)
+        assert ev16.j.decay == pytest.approx(ev17.j.decay)
+        with pytest.raises(ValueError):
+            metrics.evaluate_sequence(ann, seg, toolkit='davis2018')
+
+
 def test_evaluate_sequence_and_dataset():
     ann = [np.zeros((20, 20), bool) for _ in range(5)]
     seg = [np.zeros((20, 20), bool) for _ in range(5)]

@@ -7,14 +7,15 @@ int8) but the b1 regime is launch/HBM-bound, not MXU-bound — removing the
 not at all, if XLA was already fusing them into the conv epilogues).
 
 Also probes the one untried int8 variant for b1: conv output emitted at
-``preferred_element_type=bfloat16`` instead of int32, halving the conv
-output write (the int32->float dequant pass is the measured ~1 ms/full-res
-overhead that made b1 int8 a regression, BENCHMARKS.md).
+``preferred_element_type=bfloat16`` instead of int32
+(``quantized_apply(conv_out_dtype=jnp.bfloat16)``), halving the conv
+output write wherever the raw conv result materializes (the s32
+materialization is the measured cost that made b1 int8+fold a 2x
+regression, BENCHMARKS.md) — keys ``int8bf16out`` / ``int8bf16out_fold``.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_b1_fold_probe.py
 """
 import sys
-import time
 
 import numpy as np
 
@@ -29,6 +30,7 @@ import jax.numpy as jnp
 
 from fosvos_tpu.compress import foldbn, quantize
 from fosvos_tpu.models import make_resnet
+from fosvos_tpu.runtime.timing import time_pipelined
 
 
 def _bf16(variables):
@@ -38,16 +40,11 @@ def _bf16(variables):
 
 
 def measure(fn, *args, n_runs=30, rounds=3):
-    np.asarray(fn(*args))  # compile + warm
-    best = float('inf')
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n_runs):
-            r = fn(*args)
-        np.asarray(r[0, 0, :8])  # in-order fence (see runtime/timing.py)
-        best = min(best, (time.perf_counter() - t0) / n_runs)
-    return best
+    """Best-of-``rounds`` pipelined-fence timing. The protocol itself is
+    runtime.timing.time_pipelined (the single shared implementation — a
+    local copy here measurably drifted from bench.py's numbers, ADVICE r4)."""
+    return min(time_pipelined(fn, *args, n_runs=n_runs)
+               for _ in range(rounds))
 
 
 def main():
@@ -59,13 +56,14 @@ def main():
     frames_np = rng.randn(1, 480, 854, 3).astype(np.float32) * 40.0
 
     results = {}
-    for dtype in ('bf16', 'int8'):
+    for dtype in ('bf16', 'int8', 'int8bf16out'):
         jdt = jnp.bfloat16
+        conv_out = jnp.bfloat16 if dtype == 'int8bf16out' else None
         for fold in (False, True):
             v = foldbn.fold(model, variables) if fold else variables
             v = jax.device_put(_bf16(v))
             frames = jnp.asarray(frames_np, jdt)
-            if dtype == 'int8':
+            if dtype.startswith('int8'):
                 qtree = jax.device_put(quantize.build_qparams(
                     model, v, [frames]).tree())
 
@@ -74,7 +72,8 @@ def main():
                     outs = foldbn.folded_apply(
                         model, v, images,
                         apply_fn=lambda vv, x, **kw: quantize.quantized_apply(
-                            model, vv, qtree, x, **kw))
+                            model, vv, qtree, x,
+                            conv_out_dtype=conv_out, **kw))
                     prob = jax.nn.sigmoid(
                         outs[-1][..., 0].astype(jnp.float32))
                     return jnp.round(prob * 255.0).astype(jnp.uint8)
@@ -94,9 +93,12 @@ def main():
             print(f'b1 {key}: {dt * 1e3:.3f} ms/frame ({1 / dt:.1f} fps)',
                   flush=True)
 
-    for base, folded in (('bf16', 'bf16_fold'), ('int8', 'int8_fold')):
+    for base, folded in (('bf16', 'bf16_fold'), ('int8', 'int8_fold'),
+                         ('int8bf16out', 'int8bf16out_fold')):
         d = results[base] / results[folded]
         print(f'{folded} vs {base}: {d:.3f}x')
+    print(f'int8bf16out_fold vs int8_fold: '
+          f'{results["int8_fold"] / results["int8bf16out_fold"]:.3f}x')
 
 
 def hlo_report():
