@@ -145,15 +145,15 @@ def resnet_trunk_from_torchvision(sd: Mapping[str, Any], arch: ResNetArch,
     return params, batch_stats
 
 
-def osvos_resnet_checkpoint_to_variables(sd: Mapping[str, Any],
-                                         arch: ResNetArch) -> Dict[str, Params]:
-    """Convert a full reference OSVOS_RESNET state_dict to our variables.
-
-    Reference module names (osvos_resnet.py:29-36): ``layer_base.{0,1}``,
-    ``layer_stages.{i}.{j}.{conv1,bn1,conv2,bn2,downsample.{0,1}}``,
-    ``side_prep.{i}``, ``upscale_side_prep.{i}``, ``score_dsn.{i}``,
-    ``upscale_score_dsn.{i}``, ``layer_fuse``.
-    """
+def osvos_resnet_trunk_to_params(sd: Mapping[str, Any], arch: ResNetArch
+                                 ) -> Tuple[Params, Params]:
+    """Map a reference OSVOS_RESNET state_dict's TRUNK (``layer_base.{0,1}``
+    + ``layer_stages.{i}.{j}.*``, osvos_resnet.py:29-32) to our
+    params/batch_stats subtrees. Split out of the full converter because the
+    trunk is the only importable part of the reference's bottleneck
+    versions — its resnet50+ side heads are mis-wired (side_prep in_channels
+    ignore block.expansion, osvos_resnet.py:25-27,135, so the full forward
+    crashes; pinned by tools/make_golden_reference.py)."""
     params: Params = {}
     stats: Params = {}
 
@@ -178,6 +178,19 @@ def osvos_resnet_checkpoint_to_variables(sd: Mapping[str, Any],
                 bp['downsample_bn'], bs['downsample_bn'] = p, s
             params[f'stage{i}_block{j}'] = bp
             stats[f'stage{i}_block{j}'] = bs
+    return params, stats
+
+
+def osvos_resnet_checkpoint_to_variables(sd: Mapping[str, Any],
+                                         arch: ResNetArch) -> Dict[str, Params]:
+    """Convert a full reference OSVOS_RESNET state_dict to our variables.
+
+    Reference module names (osvos_resnet.py:29-36): ``layer_base.{0,1}``,
+    ``layer_stages.{i}.{j}.{conv1,bn1,conv2,bn2,downsample.{0,1}}``,
+    ``side_prep.{i}``, ``upscale_side_prep.{i}``, ``score_dsn.{i}``,
+    ``upscale_score_dsn.{i}``, ``layer_fuse``.
+    """
+    params, stats = osvos_resnet_trunk_to_params(sd, arch)
 
     for i in range(4):
         params[f'head{i}'] = {

@@ -46,15 +46,23 @@ def _nhwc(x_nchw):
     return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
 
 
+def _close(got, want, err_msg):
+    # fp32 conv stacks, XLA vs torch CPU: ~1e-5 relative. Deeper trunks
+    # (resnet34/50) push activations to O(1e3-1e4) with the He-scaled
+    # fixture weights, so near-zero elements carry absolute noise ~1e-5 x
+    # the activation scale — atol must track that scale or ppm-level noise
+    # on cancelling elements fails a per-element rtol.
+    atol = max(5e-3, 2e-5 * float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=atol,
+                               err_msg=err_msg)
+
+
 def _assert_outputs(outs_jax, data, family, mode=''):
     assert len(outs_jax) == 5
     for i, o in enumerate(outs_jax):
         want = data[f'{family}/out{mode}{i}']          # NCHW (1,1,H,W)
         got = np.transpose(np.asarray(o), (0, 3, 1, 2))
-        # fp32 conv stacks, XLA vs torch CPU: ~1e-5 relative; activations
-        # are O(100) by design (He-scaled fixture weights)
-        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-3,
-                                    err_msg=f'{family} output {i} {mode}')
+        _close(got, want, f'{family} output {i} {mode}')
 
 
 def test_vgg16_matches_reference_forward(data):
@@ -65,23 +73,72 @@ def test_vgg16_matches_reference_forward(data):
     _assert_outputs(outs, data, 'vgg16')
 
 
-def test_resnet18_matches_reference_forward_eval_bn(data):
-    sd = _state_dict(data, 'resnet18')
-    model = make_resnet(18)
+# every BasicBlock topology the pipelines serve: the zoo models and the
+# width-multiplier student (scale_down_exponent, osvos_resnet.py:25-27 —
+# the knob the whole mimic/prune story rides on)
+RESNET_CASES = [('resnet18', dict(version=18)),
+                ('resnet34', dict(version=34)),
+                ('resnet18sde3', dict(version=18, scale_down_exponent=3))]
+
+
+@pytest.mark.parametrize('family,kwargs', RESNET_CASES)
+def test_resnet_matches_reference_forward_eval_bn(data, family, kwargs):
+    sd = _state_dict(data, family)
+    model = make_resnet(**kwargs)
     variables = import_torch.osvos_resnet_checkpoint_to_variables(
         sd, model.arch)
     outs = model.apply(variables, _nhwc(data['input']), train=False)
-    _assert_outputs(outs, data, 'resnet18', mode='_eval')
+    _assert_outputs(outs, data, family, mode='_eval')
 
 
-def test_resnet18_matches_reference_forward_train_bn(data):
+@pytest.mark.parametrize('family,kwargs', RESNET_CASES)
+def test_resnet_matches_reference_forward_train_bn(data, family, kwargs):
     """The reference never calls net.eval() at test time
     (experiment_helper.py:20-64), so its inference actually normalizes with
     batch statistics — the mode our engines replicate; pin it too."""
-    sd = _state_dict(data, 'resnet18')
-    model = make_resnet(18)
+    sd = _state_dict(data, family)
+    model = make_resnet(**kwargs)
     variables = import_torch.osvos_resnet_checkpoint_to_variables(
         sd, model.arch)
     outs, _ = model.apply(variables, _nhwc(data['input']), train=True,
                           mutable=['batch_stats'])
-    _assert_outputs(outs, data, 'resnet18', mode='_train')
+    _assert_outputs(outs, data, family, mode='_train')
+
+
+def test_resnet50_trunk_matches_reference_and_heads_are_miswired(data):
+    """Bottleneck (ResNet-50) parity against the reference's own code.
+
+    The reference's FULL resnet50 forward is broken — _make_osvos_layers
+    wires side_prep in_channels as [64,128,256,512]
+    (osvos_resnet.py:25-27,135) while bottleneck stages emit
+    planes * expansion (osvos_resnet.py:111-117) — so the fixture pins the
+    TRUNK stage outputs (layer_base + 4 stages, eval BN) plus the recorded
+    crash. Our model fixes the wiring (SideHead consumes the true stage
+    width), so only the trunk is comparable."""
+    sd = _state_dict(data, 'resnet50')
+    model = make_resnet(50)
+    import jax
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 32, 48, 3), jnp.float32), train=False)
+    tp, ts = import_torch.osvos_resnet_trunk_to_params(sd, model.arch)
+    variables = {'params': {**v['params'], **tp},
+                 'batch_stats': {**v['batch_stats'], **ts}}
+
+    # the reference side crashed exactly where the mis-wiring predicts
+    assert 'resnet50/full_forward_error' in data
+    msg = str(data['resnet50/full_forward_error'])
+    assert '256' in msg and '64' in msg, msg
+
+    stage_last = [f'stage{i}_block{len(s) - 1}'
+                  for i, s in enumerate(model.arch.stages)]
+    _, state = model.apply(
+        variables, _nhwc(data['input']), train=False,
+        capture_intermediates=lambda mdl, method: (
+            method == '__call__' and mdl.name in stage_last),
+        mutable=['intermediates'])
+    for i, name in enumerate(stage_last):
+        got = np.transpose(
+            np.asarray(state['intermediates'][name]['__call__'][0]),
+            (0, 3, 1, 2))
+        want = data[f'resnet50/trunk_eval{i}']
+        _close(got, want, f'resnet50 trunk stage {i}')
