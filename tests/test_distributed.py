@@ -17,12 +17,12 @@ jax.config.update('jax_platforms', 'cpu')
 
 from fosvos_tpu.runtime import distributed
 
-pid, port = int(sys.argv[1]), sys.argv[2]
-idx = distributed.initialize(f'localhost:{port}', 2, pid)
-assert idx == pid and jax.process_count() == 2
+pid, port, n_procs = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+idx = distributed.initialize(f'localhost:{port}', n_procs, pid)
+assert idx == pid and jax.process_count() == n_procs
 
 mesh = distributed.global_mesh(('data',))
-assert mesh.size == jax.device_count() >= 2
+assert mesh.size == jax.device_count() >= n_procs
 
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -64,7 +64,15 @@ print('WORKER-OK', pid)
 '''
 
 
-def test_two_process_dcn_join():
+import pytest
+
+
+@pytest.mark.parametrize('n_procs', [2, 4])
+def test_multi_process_dcn_join(n_procs):
+    """2-process smoke and a 4-process topology (VERDICT r4 #7): a
+    host-major global mesh across real process boundaries running the
+    device-resident data-parallel epoch — each process's devices hold
+    their own shard of the resident split and the per-step batch."""
     with socket.socket() as s:
         s.bind(('localhost', 0))
         port = s.getsockname()[1]
@@ -72,12 +80,12 @@ def test_two_process_dcn_join():
     env = dict(os.environ)
     env['PYTHONPATH'] = (env.get('PYTHONPATH', '') + os.pathsep + REPO)
     procs = [subprocess.Popen(
-        [sys.executable, '-c', WORKER, str(pid), str(port)],
+        [sys.executable, '-c', WORKER, str(pid), str(port), str(n_procs)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO)
-        for pid in range(2)]
-    # generous budget: two fresh jax processes share this machine's single
-    # CPU core with whatever else the suite is running
-    outs = [p.communicate(timeout=480)[0].decode() for p in procs]
+        for pid in range(n_procs)]
+    # generous budget: the fresh jax processes all share this machine's
+    # single CPU core with whatever else the suite is running
+    outs = [p.communicate(timeout=240 * n_procs)[0].decode() for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'process {pid} failed:\n{out}'
         assert f'WORKER-OK {pid}' in out
