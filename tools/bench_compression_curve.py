@@ -114,9 +114,111 @@ def measure_point(name, model, variables, db_test, out_root, bench_runs):
             'n_params': n_params({'params': variables['params']})}
 
 
+def write_artifacts(doc: dict, out: Path):
+    """curve.json is the raw record; curve.md is the human deliverable
+    (reference analogue: visualizations.ipynb cells 27-28's scatter+bars)."""
+    (out / 'curve.json').write_text(json.dumps(doc, indent=1))
+
+    points, wall, cfg = doc['points'], doc['wall_clock'], doc['config']
+    report.plot_quality_vs_speed(
+        {k: {'fps': p['fps_b1'], 'j_mean': p['j_mean']}
+         for k, p in points.items()},
+        str(out / 'quality_vs_speed.png'))
+
+    lines = [
+        '# Compression quality-vs-speed curve',
+        '',
+        'The reference\'s results deliverable (`src/eval/visualizations.ipynb`'
+        ' cells 27-28), produced end-to-end on one TPU chip: one-shot-adapt a'
+        ' parent OSVOS-ResNet18, then run the full prune pipeline'
+        f" (10..{cfg['percentage_max']}% in 10% checkpoints) and the full"
+        f" mimic sweep (sde {cfg['sdes']}), measuring each checkpoint's"
+        ' serving speed (batch-1, pipelined fence, uint8 ingest, fp32) and'
+        ' in-repo J&F on the held-out frames.',
+        '',
+        f"Setup: synthetic {cfg['height']}x{cfg['width']} DAVIS sequence"
+        f" ({cfg['n_frames']} frames — no DAVIS data or pretrained trunks"
+        ' exist in this environment, see BENCHMARKS.md "Quality");'
+        f" production budgets ({cfg['adapt_steps']} adaptation steps,"
+        f" {cfg['n_epochs_select']}+{cfg['n_epochs_finetune']} prune"
+        f" rank/fine-tune epochs per {cfg['prune_per_iter']}-filter"
+        f" iteration, {cfg['mimic_epochs']} distillation epochs per"
+        ' student). Reproduce with:',
+        '',
+        '```',
+        'PYTHONPATH=/root/.axon_site:/root/repo \\',
+        '  python tools/bench_compression_curve.py --out-dir '
+        + str(out),
+        '```',
+        '',
+        '| checkpoint | fps (b1) | J mean | F mean | params |',
+        '|---|---|---|---|---|',
+    ]
+    for k, p in points.items():
+        lines.append(f"| {k} | {p['fps_b1']} | {p['j_mean']} | "
+                     f"{p['f_mean']} | {p['n_params'] / 1e6:.2f}M |")
+    lines += [
+        '',
+        '## Pipeline wall-clock (on-chip, one v5e chip behind the tunnel)',
+        '',
+        f"| phase | s |",
+        '|---|---|',
+        f"| one-shot adaptation ({cfg['adapt_steps']} steps) | "
+        f"{wall.get('adapt_s', 'n/a')} |",
+    ]
+    if 'prune_pipeline_s' in wall:
+        lines += [
+            f"| prune pipeline total (10..{cfg['percentage_max']}%) | "
+            f"{wall['prune_pipeline_s']} |",
+            f"| prune rank epoch (median) | {wall['prune_rank_epoch_s']} |",
+            f"| prune fine-tune epoch (median) | "
+            f"{wall['prune_finetune_epoch_s']} |",
+        ]
+    dist = [(k, p['distill_s']) for k, p in points.items()
+            if 'distill_s' in p]
+    for k, s in dist:
+        lines.append(f'| distill {k} ({cfg["mimic_epochs"]} epochs) | {s} |')
+    lines.append(f"| **total** | **{wall['total_s']}** |")
+    if 'prune_s_per_checkpoint' in wall:
+        per = ', '.join(f'{p}%: {t}s'
+                        for p, t in wall['prune_s_per_checkpoint'].items())
+        lines += ['', f'Per-10%-checkpoint prune cost: {per}. The first '
+                  'checkpoint carries the 480p rank/fine-tune compiles; '
+                  'later ones are re-rank + re-tune only (shape-stable '
+                  'masked training, no recompiles).']
+    lines += [
+        '',
+        '## Reading the curve',
+        '',
+        '- The speed axis is real: fps is measured per materialized '
+        'checkpoint architecture with the same pipelined-fence protocol as '
+        'bench.py, so the fps spread (~470-640 fps) is the true b1 serving '
+        'cost of each width. b1 at 480p is latency-bound on this chip '
+        '(BENCHMARKS.md "batch-1 latency"), so fps grows far more slowly '
+        'than parameter count shrinks — the same conclusion the reference '
+        'draws for small batches on GPU.',
+        '- The quality axis is J&F on ONE synthetic sequence adapted with '
+        'per-sequence budgets: the relative trend (quality holds through '
+        'moderate compression, collapses at extreme width reduction) is '
+        'meaningful; absolute values are NOT comparable to DAVIS-val '
+        'numbers (`tools/parity_runbook.py` reproduces those given real '
+        'assets).',
+        '- Aggressive checkpoints (prune>=60%, sde>=3) are high-variance at '
+        'this budget: a single synthetic sequence gives the rank/distill '
+        'loss few gradients to distinguish channels, so individual points '
+        'can collapse (e.g. a bad 10%-filter selection) while a yet-smaller '
+        'one recovers. The reference smooths this with 50-sequence sweeps; '
+        'the per-sequence instability itself is faithful.',
+    ]
+    (out / 'curve.md').write_text('\n'.join(lines) + '\n')
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out-dir', default='docs/compression_curve')
+    ap.add_argument('--render-only', action='store_true',
+                    help='re-render curve.md + PNG from an existing '
+                         'curve.json (no TPU work)')
     ap.add_argument('--adapt-steps', type=int, default=10000)
     ap.add_argument('--prune-per-iter', type=int, default=64)
     ap.add_argument('--n-epochs-select', type=int, default=20)
@@ -134,6 +236,10 @@ def main():
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    if args.render_only:
+        write_artifacts(json.loads((out / 'curve.json').read_text()), out)
+        print(f'wrote {out}/curve.md, quality_vs_speed.png', flush=True)
+        return
     root = tempfile.mkdtemp(prefix='curve_davis_')
     synthetic.generate(root, sequences=['synth-bear'], val_sequences=[SEQ],
                        n_frames=args.n_frames,
@@ -243,21 +349,10 @@ def main():
     wall['total_s'] = round(time.perf_counter() - t_all, 1)
 
     # --- 4. artifacts ------------------------------------------------------
-    doc = {'config': {k: v for k, v in vars(args).items()},
+    doc = {'config': {k: v for k, v in vars(args).items()
+                      if k != 'render_only'},
            'wall_clock': wall, 'points': points}
-    (out / 'curve.json').write_text(json.dumps(doc, indent=1))
-
-    report.plot_quality_vs_speed(
-        {k: {'fps': p['fps_b1'], 'j_mean': p['j_mean']}
-         for k, p in points.items()},
-        str(out / 'quality_vs_speed.png'))
-
-    lines = ['| checkpoint | fps (b1) | J mean | F mean | params |',
-             '|---|---|---|---|---|']
-    for k, p in points.items():
-        lines.append(f"| {k} | {p['fps_b1']} | {p['j_mean']} | "
-                     f"{p['f_mean']} | {p['n_params'] / 1e6:.2f}M |")
-    (out / 'curve.md').write_text('\n'.join(lines) + '\n')
+    write_artifacts(doc, out)
 
     for k, p in points.items():
         print(json.dumps({'metric': f'curve_{k}_fps_b1', 'value': p['fps_b1'],
