@@ -698,8 +698,8 @@ def main(argv=None):
                          'aggregate fps, elastic join + padding overhead, '
                          'service join latency, vgg adaptation, resident '
                          'mimic rate, QAT overhead) — the BENCHMARKS.md '
-                         'rows outside the default zoo; budget ~30-40 min '
-                         'warm-cache, hours cold')
+                         'rows outside the default zoo; budget ~45-50 min '
+                         'warm-cache (measured r05), hours cold')
     args = ap.parse_args(argv)
 
     if args.serving:

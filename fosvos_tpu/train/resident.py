@@ -31,7 +31,10 @@ per-step host traffic.
 Measured (BENCHMARKS.md): 7.2 ms/step / 138 frames/s sustained at b1 480p
 with full augmentation — 4.6x over the standard loop, below the 10.3 ms
 single-step device compute (the scan amortizes dispatch; the 0.5/0.8-scale
-steps cost less than native).
+steps cost less than native). Batched, the same engine reaches **928
+frames/s at b128 bf16** (the knee — b256 regresses; the step is
+backward-bound, decomposed in ``tools/profile_resident_step.py``), making
+the full reference budget ~9 min on one chip.
 
 Documented deviation from the host pipeline: scale resize runs on device in
 float32 (``jax.image.resize`` cubic for frames / nearest for masks) instead

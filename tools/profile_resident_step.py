@@ -30,8 +30,13 @@ Run (real chip):
 Options: --batch 32 --scan-steps 10 --runs 5 --skip-levers
 
 Reference anchor for the budget this feeds: ``src/train_offline.py:153-155``
-(240 epochs x 2079 frames); current bench row
-``resnet18_480p_offline_train_fps_resident_b32_bf16`` = 511 fps.
+(240 epochs x 2079 frames); the r04 bench row this was built to explain
+(``..._b32_bf16`` = 511 fps) decomposed into a fixture artifact (~11%
+per-epoch host overhead at 4 steps/epoch) plus a backward-bound device
+step that keeps gaining MXU efficiency up to a b128 knee — measured
+schedule-weighted 668 (b32) / 735 (b64) / 1074 (b128) / 981 (b256) fps;
+the production-loop bench row is now 928 fps at b128 (BENCHMARKS.md
+"What binds the batched resident step").
 """
 import argparse
 import json
