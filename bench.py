@@ -417,12 +417,14 @@ def _bench_service_join(capacity: int = 4, n_epochs: int = 10000):
     return join_s[-1]
 
 
-def _bench_mimic_resident():
+def _bench_mimic_resident(batch_size: int = 1):
     """Mimic distillation throughput in device-resident mode
     (compress/mimic.py train_mimic_resident): teacher forward + student
     fwd/bwd + Adam per step, full flip+3-scale device augmentation,
     steady-state epochs over an HBM-resident split (BENCHMARKS.md
-    "Compression pipelines")."""
+    "Compression pipelines"). ``batch_size=1`` is the reference's
+    setting; ``batch_size>1`` is the batched sweep (same BN-moments
+    deviation and b128 knee as the parent trainer)."""
     import tempfile
     import time as _time
     import jax
@@ -431,9 +433,11 @@ def _bench_mimic_resident():
     from fosvos_tpu.data import davis, synthetic
     from fosvos_tpu.models import make_resnet
 
+    n_seqs = max(4, (12 * batch_size) // 8)
     root = tempfile.mkdtemp(prefix='bench_mimic_')
-    synthetic.generate(root, sequences=[f's{i}' for i in range(4)],
-                       val_sequences=['v0'], n_frames=4, size=(_SH, _SW))
+    synthetic.generate(root, sequences=[f's{i}' for i in range(n_seqs)],
+                       val_sequences=['v0'], n_frames=8 if batch_size > 1
+                       else 4, size=(_SH, _SW))
     ds = davis.DAVIS2016(mode='train', db_root_dir=root)
     teacher = make_resnet(18)
     student = make_resnet(18, scale_down_exponent=3)
@@ -457,7 +461,8 @@ def _bench_mimic_resident():
     w = _W()
     t0 = _time.perf_counter()
     mimic.train_mimic_resident(student, svars, teacher, tvars, ds,
-                               n_epochs=4, summary_writer=w, seed=0)
+                               n_epochs=4, summary_writer=w, seed=0,
+                               batch_size=batch_size)
     walls = np.diff([t0] + w.t)
     steady = walls[1:].min()  # first epoch pays the per-scale compiles
     return len(ds) / steady
@@ -547,15 +552,18 @@ def _run_serving_rows():
            'value': round(vgg_s, 2), 'unit': 's',
            'vs_baseline': round(10000 * 0.08083 / vgg_s, 2)})
 
-    t0 = time.perf_counter()
-    mimic_fps = _bench_mimic_resident()
-    print(f'# mimic resident distill: {mimic_fps:.1f} frames/s '
-          f'({time.perf_counter() - t0:.0f}s incl. compile)',
-          file=sys.stderr)
-    _emit({'metric': 'mimic_distill_fps_resident',
-           'value': round(mimic_fps, 2), 'unit': 'frames/s/chip',
-           # reference fwd-only bound, as for the offline train rows
-           'vs_baseline': round(mimic_fps / BASELINE_FPS['resnet18'], 2)})
+    for b in (1, 64):
+        t0 = time.perf_counter()
+        mimic_fps = _bench_mimic_resident(b)
+        print(f'# mimic resident distill b{b}: {mimic_fps:.1f} frames/s '
+              f'({time.perf_counter() - t0:.0f}s incl. compile)',
+              file=sys.stderr)
+        suffix = '' if b == 1 else f'_b{b}'
+        _emit({'metric': f'mimic_distill_fps_resident{suffix}',
+               'value': round(mimic_fps, 2), 'unit': 'frames/s/chip',
+               # reference fwd-only bound, as for the offline train rows
+               'vs_baseline': round(mimic_fps / BASELINE_FPS['resnet18'],
+                                    2)})
 
     t0 = time.perf_counter()
     qat_s, float_s = _bench_qat_overhead()

@@ -140,6 +140,13 @@ def main(argv=None):
                              'train split (train/resident.py engine) — '
                              'removes the per-step H2D transfer; ignored '
                              'for per-sequence (1-frame) online runs')
+    parser.add_argument('--batch-size', default=1, type=int,
+                        help='distillation batch for --device-resident '
+                             '(reference setting: 1). >1 batches the '
+                             'teacher+student step like the parent '
+                             "trainer's --batch-size — same b128 knee; "
+                             'deviation: teacher train-mode BN and '
+                             'student BN see batch moments over B frames')
     args = parser.parse_args(argv)
 
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -254,6 +261,10 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
             use_resident = False
         try:
             if use_resident:
+                if args.batch_size > 1:
+                    log.info('batched distillation (b%d): teacher/student '
+                             'BN sees batch moments — see --batch-size '
+                             'help', args.batch_size)
                 res = mimic_lib.train_mimic_resident(
                     student_model, student_vars, teacher_model, teacher_vars,
                     db_train, val_batches_fn=val_batches,
@@ -261,7 +272,8 @@ def run_one(seq_name: Optional[str], sde: int, args, db_root_dir) -> None:
                     learn_from=args.learn_from,
                     learning_rate=args.learning_rate,
                     snapshot_fn=snapshot, summary_writer=writer,
-                    student_apply_fn=student_apply_fn)
+                    student_apply_fn=student_apply_fn,
+                    batch_size=args.batch_size)
             else:
                 res = mimic_lib.train_mimic(
                     student_model, student_vars, teacher_model, teacher_vars,

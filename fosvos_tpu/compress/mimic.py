@@ -182,14 +182,25 @@ def train_mimic_resident(student_model, student_variables,
                          snapshot_every_n: int = 50,
                          snapshot_fn=None, summary_writer=None,
                          seed: int = 0, chunk_steps: int = 50,
-                         student_apply_fn=None
+                         student_apply_fn=None,
+                         batch_size: int = 1
                          ) -> MimicResult:
     """:func:`train_mimic` with the train split resident in HBM
     (``train/resident.py`` engine): teacher+student steps run as compiled
     chunk scans over device-gathered, device-augmented frames — for the
     offline distillation sweep this removes the per-step H2D transfer the
     same way it does for parent training (BENCHMARKS.md). Same reference
-    semantics, scalar tags, and cadences as :func:`train_mimic`."""
+    semantics, scalar tags, and cadences as :func:`train_mimic`.
+
+    ``batch_size > 1`` batches the distillation step exactly like the
+    parent trainer's ``--batch-size`` (the same backward-bound step gains
+    MXU efficiency up to the b128 knee, BENCHMARKS.md "What binds the
+    batched resident step"). Documented deviation, mirroring the parent
+    trainer's: both the student's BN batch statistics AND the teacher's
+    train-mode forward (the reference runs the teacher in train mode,
+    ``mimic.py:48``) see batch moments over ``batch_size`` frames instead
+    of 1, so distillation targets are not bit-identical to the b1 sweep.
+    The reference's own setting is batch 1."""
     from fosvos_tpu.train import resident
 
     # single optimizer source: MimicTrainer owns the distillation preset
@@ -221,7 +232,8 @@ def train_mimic_resident(student_model, student_variables,
     for epoch in range(1, n_epochs + 1):
         epoch_frac = epoch / n_epochs
         idxs, flips, schedule = resident.epoch_plan(
-            len(dataset), 1, rng, augment=True, chunk_steps=chunk_steps)
+            len(dataset), batch_size, rng, augment=True,
+            chunk_steps=chunk_steps)
         state, auxes = engine.run_epoch(state, teacher_variables,
                                         d_imgs, d_gts, idxs, flips,
                                         schedule, epoch_frac)

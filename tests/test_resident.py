@@ -193,6 +193,33 @@ def test_resident_mimic_distillation(db, tiny_model):
     assert snaps == [2]
 
 
+def test_resident_mimic_batched(db, tiny_model):
+    """Batched distillation (batch_size>1) runs the same engine with the
+    batch axis widened — the parent trainer's b128-knee win applied to the
+    offline distillation sweep. Semantics deviation (teacher/student BN
+    batch moments) is documented; this pins the mechanics: every epoch
+    covers len(ds)//B steps, losses stay finite, the trained student's
+    state is returned."""
+    from fosvos_tpu.compress import mimic as mimic_lib
+    teacher_model, teacher_vars = tiny_model
+    student_model = OSVOSResNet(arch=resnet_arch(18, scale_down_exponent=5))
+    student_vars = student_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 48, 3), jnp.float32),
+        train=False)
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    assert len(ds) >= 4
+
+    res = mimic_lib.train_mimic_resident(
+        student_model, student_vars, teacher_model, teacher_vars, ds,
+        n_epochs=2, criterion='MSE', chunk_steps=2, batch_size=2)
+    assert np.isfinite(res.train_losses).all()
+    assert len(res.train_losses) == 2
+    # params actually moved
+    d0 = jax.tree.leaves(student_vars['params'])[0]
+    d1 = jax.tree.leaves(res.state.params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
 def test_resident_prune_pipeline(db, tiny_model):
     """Pruning with both inner loops on the resident engine: ranking grads
     accumulate on device, masks thread as traced context (no recompile per
