@@ -57,6 +57,12 @@ def main(argv=None):
                              'split (train/resident.py engine) — removes '
                              'the per-step H2D transfer; ignored for '
                              'per-sequence (1-frame) online runs')
+    parser.add_argument('--batch-size', default=1, type=int,
+                        help='rank/fine-tune batch for --device-resident '
+                             '(reference setting: 1). >1 batches both '
+                             "inner loops like the parent trainer's "
+                             '--batch-size — same b128 knee; deviation: '
+                             'BN batch moments over B frames')
     args = parser.parse_args(argv)
 
     db_root_dir = args.db_root_dir or Paths.db_root_dir()
@@ -168,7 +174,8 @@ def run_one(seq_name: Optional[str], args, db_root_dir, path_stem) -> None:
             percentage_max=args.percentage_max,
             checkpoint_fn=on_checkpoint,
             summary_writer=writer,
-            resident_dataset=db if use_resident else None)
+            resident_dataset=db if use_resident else None,
+            resident_batch_size=args.batch_size)
     finally:
         writer.close()  # flush partial-run scalars even on mid-sweep crash
 

@@ -442,7 +442,8 @@ def prune_iteratively(model, arch: ResNetArch, variables,
                           Callable[[PruneCheckpoint], None]] = None,
                       summary_writer=None,
                       resident_dataset=None, resident_seed: int = 0,
-                      resident_chunk_steps: int = 50
+                      resident_chunk_steps: int = 50,
+                      resident_batch_size: int = 1
                       ) -> List[PruneCheckpoint]:
     """The reference main loop (prune.py:552-640): for each 10% target,
     repeat [rank -> prune prune_per_iter filters -> fine-tune] until the
@@ -463,6 +464,13 @@ def prune_iteratively(model, arch: ResNetArch, variables,
     device-augmented frames, with channel masks / (params, stats) threaded
     as traced context so mask updates never recompile. ``batches_fn`` is
     unused then and may be None.
+
+    ``resident_batch_size > 1`` batches both resident inner loops like the
+    parent trainer's ``--batch-size`` (same backward-bound step, same b128
+    knee — BENCHMARKS.md). Documented deviation, reference setting 1: BN
+    batch statistics (rank passes run train=True, ``prune.py:240-243``)
+    and the Taylor scores' per-sample normalization context see batch
+    moments over B frames.
     """
     ranker = TaylorRanker(model, is_offline)
     tuner = MaskedFineTuner(model, is_offline)
@@ -497,7 +505,8 @@ def prune_iteratively(model, arch: ResNetArch, variables,
             for e in range(n_epochs_select):
                 if resident_dataset is not None:
                     idxs, flips, schedule = resident_mod.epoch_plan(
-                        len(resident_dataset), 1, res_rng, augment=True,
+                        len(resident_dataset), resident_batch_size,
+                        res_rng, augment=True,
                         chunk_steps=resident_chunk_steps)
                     carry0 = (jax.tree.map(jnp.zeros_like, masks),
                               jnp.zeros((), jnp.float32))
@@ -522,7 +531,8 @@ def prune_iteratively(model, arch: ResNetArch, variables,
             for e in range(n_epochs_finetune):
                 if resident_dataset is not None:
                     idxs, flips, schedule = resident_mod.epoch_plan(
-                        len(resident_dataset), 1, res_rng, augment=True,
+                        len(resident_dataset), resident_batch_size,
+                        res_rng, augment=True,
                         chunk_steps=resident_chunk_steps)
                     state, auxes = ft_engine.run_epoch(
                         state, masks, d_imgs, d_gts, idxs, flips,

